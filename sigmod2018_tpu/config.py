@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+The reference hard-codes its knobs as compile-time #defines (structs.h:8-12:
+CACHE_SIZE, RESULT_MAX_BUFFER, N_LSB, THREADS) and needs a recompile to change
+them.  Here everything is a single runtime dataclass; jit caches are keyed on
+the static values so no recompile of the framework is ever needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # Operator backend: "jax" (XLA programs, TPU/CPU) or "numpy" (oracle).
+    backend: str = "jax"
+
+    # Minimum padded length for any device array (one TPU lane tile).
+    min_pad: int = 128
+
+    # Radix bits for the Pallas radix-join path (reference N_LSB=4,
+    # structs.h:11).  Used only when use_radix_join is on.
+    radix_bits: int = 4
+    # Join algorithm: "sort" (sort+searchsorted, default) or "radix".
+    join_algo: str = "sort"
+
+    # Join-order optimization via DP enumeration (reference best_tree.c).
+    optimize_joins: bool = True
+
+    # Emit per-operator timings / chosen plans to stderr.
+    explain: bool = False
+    trace: bool = False
+
+    # Multi-chip: number of mesh devices to shard relations over
+    # (1 = single chip; >1 requires that many JAX devices).
+    mesh_devices: int = 1
+
+    @staticmethod
+    def from_env() -> "EngineConfig":
+        def _flag(name: str, default: str) -> str:
+            return os.environ.get(name, default)
+
+        return EngineConfig(
+            backend=_flag("S18_BACKEND", "jax"),
+            join_algo=_flag("S18_JOIN", "sort"),
+            radix_bits=int(_flag("S18_RADIX_BITS", "4")),
+            optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
+            explain=_flag("S18_EXPLAIN", "0") == "1",
+            trace=_flag("S18_TRACE", "0") == "1",
+            mesh_devices=int(_flag("S18_MESH", "1")),
+        )
+
+
+DEFAULT_CONFIG = EngineConfig()

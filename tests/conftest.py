@@ -1,0 +1,44 @@
+"""Test configuration: run JAX on CPU with 8 simulated devices.
+
+Multi-chip sharding logic is tested on a virtual CPU mesh
+(--xla_force_host_platform_device_count=8) exactly as it would run on a
+real slice (SURVEY §4 implication (c)).  Must run before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+SMALL = REFERENCE / "submission" / "workloads" / "small"
+
+
+@pytest.fixture(scope="session")
+def small_workload():
+    if not SMALL.exists():
+        pytest.skip("reference small workload not available")
+    init = [
+        str(SMALL / line.strip().split("/")[-1])
+        for line in (SMALL / "small.init").read_text().splitlines()
+        if line.strip()
+    ]
+    work = (SMALL / "small.work").read_text().splitlines()
+    result = (SMALL / "small.result").read_text().splitlines()
+    return init, work, result
+
+
+@pytest.fixture(scope="session")
+def small_catalog(small_workload):
+    from sigmod2018_tpu.storage.catalog import Catalog
+
+    init, _, _ = small_workload
+    return Catalog.from_files(init)
