@@ -1,0 +1,220 @@
+"""Multi-chip SPMD join: hash-shuffle over a device mesh + local sort-join.
+
+The reference engine's only parallelism is a 4-thread pthread pool with
+fork/join barriers on one shared-memory node (scheduler.c, preprocess.c).
+The TPU-native restatement scales across chips instead (SURVEY §2.3):
+
+- every relation column is row-sharded over a 1-D `jax.sharding.Mesh`
+  (each chip owns a contiguous ~T/n slice),
+- the radix partition's first level becomes a cross-chip hash shuffle:
+  each chip buckets its local rows by `key mod n_devices` and exchanges
+  the buckets with `jax.lax.all_to_all` (ICI within a slice, DCN across
+  hosts),
+- after the shuffle every chip owns *all* rows of its key range, so the
+  join is chip-local: XLA sort + searchsorted, identical to the
+  single-chip path in ops/sort_join.py,
+- global scalars (cardinalities, checksums) leave the chips via `psum`
+  — the reference's condvar barrier (scheduler.c:76-86) has no analog
+  because SPMD programs synchronize at collective boundaries.
+
+Static-shape discipline: the per-destination send capacity `cap` must be
+a compile-time constant.  `exchange_counts` is the cheap first pass that
+returns the exact per-destination histogram (psum-reduced) so the host
+can pick the smallest adequate power-of-two `cap`; `cap = local_len` is
+always sufficient (a chip cannot send more rows than it owns).
+
+Everything here is shard_map-first: functions take *local* shard views
+and are meant to be wrapped by `shard_map(..., mesh, P(AXIS), ...)` —
+see `make_dist_join_checksum` for the fused end-to-end program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.4.35 exposes shard_map at the top level
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+AXIS = "shards"
+_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over the first n available devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-sharded layout for a 1-D column array."""
+    return NamedSharding(mesh, P(AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Local-shard building blocks (call inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _exclusive_cumsum(x: jax.Array) -> jax.Array:
+    c = jnp.cumsum(x)
+    return jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+
+
+def _dest_of(keys: jax.Array, live: jax.Array, ndev: int) -> jax.Array:
+    """Destination chip per row: low-bits hash of the join key
+    (reference H1 = value & (2^N_LSB - 1), rhjoin.c:311-325); dead rows
+    route to the out-of-range bucket `ndev` and are dropped."""
+    d = (keys % jnp.uint64(ndev)).astype(jnp.int32)
+    return jnp.where(live, d, jnp.int32(ndev))
+
+
+def partition_for_exchange(keys: jax.Array, payload: jax.Array,
+                           live: jax.Array, ndev: int, cap: int):
+    """Group local rows into [ndev, cap] per-destination send buffers.
+
+    One stable counting-sort pass (argsort on the destination id), then a
+    scatter into (dest, rank-within-dest) slots — the TPU restatement of
+    the reference's rescanning PartitionJob (preprocess.c:222-299).
+
+    Returns (send_keys [ndev,cap] u64 PAD-filled, send_payload [ndev,cap],
+    counts [ndev] i32, overflow scalar bool).
+    """
+    L = keys.shape[0]
+    dest = _dest_of(keys, live, ndev)
+    order = jnp.argsort(dest, stable=True).astype(jnp.int32)
+    sdest = dest[order]
+    hist = jnp.bincount(dest, length=ndev + 1).astype(jnp.int32)
+    starts = _exclusive_cumsum(hist)
+    rank = jnp.arange(L, dtype=jnp.int32) - starts[sdest]
+    # Out-of-bounds first-axis index (sdest == ndev) and rank >= cap are
+    # dropped by the scatter; `overflow` reports the latter.
+    send_keys = jnp.full((ndev, cap), _PAD_KEY, dtype=jnp.uint64)
+    send_keys = send_keys.at[sdest, rank].set(keys[order], mode="drop")
+    send_pay = jnp.zeros((ndev, cap), dtype=payload.dtype)
+    send_pay = send_pay.at[sdest, rank].set(payload[order], mode="drop")
+    counts = jnp.minimum(hist[:ndev], cap)
+    overflow = jnp.any(hist[:ndev] > cap)
+    return send_keys, send_pay, counts, overflow
+
+
+def exchange(send_keys: jax.Array, send_pay: jax.Array, counts: jax.Array):
+    """all_to_all the per-destination buffers; compact received rows into a
+    PAD-suffixed prefix.  Returns (keys [ndev*cap], payload, n_local)."""
+    ndev, cap = send_keys.shape
+    recv_keys = jax.lax.all_to_all(send_keys, AXIS, split_axis=0, concat_axis=0)
+    recv_pay = jax.lax.all_to_all(send_pay, AXIS, split_axis=0, concat_axis=0)
+    recv_cnt = jax.lax.all_to_all(counts[:, None], AXIS, split_axis=0,
+                                  concat_axis=0)[:, 0]
+    total = ndev * cap
+    starts = _exclusive_cumsum(recv_cnt)
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = slot < recv_cnt[:, None]
+    idx = jnp.where(valid, starts[:, None] + slot, total)  # total = dropped
+    keys = jnp.full((total,), _PAD_KEY, dtype=jnp.uint64)
+    keys = keys.at[idx.reshape(-1)].set(recv_keys.reshape(-1), mode="drop")
+    pay = jnp.zeros((total,), dtype=send_pay.dtype)
+    pay = pay.at[idx.reshape(-1)].set(recv_pay.reshape(-1), mode="drop")
+    return keys, pay, jnp.sum(recv_cnt)
+
+
+def local_join_checksum(bkeys: jax.Array, bvals: jax.Array, n_build: jax.Array,
+                        pkeys: jax.Array, pvals: jax.Array, n_probe: jax.Array):
+    """Chip-local join with the checksum fused into the probe.
+
+    Instead of materializing (row_idR, row_idS) pairs (reference
+    GetResults, rhjoin.c:141-217), the aggregate is pushed into the probe:
+    per probe row the contiguous sorted-build match range [lo, hi) yields
+
+        count     += hi - lo
+        sum_build += prefix[hi] - prefix[lo]     (prefix-sums of values)
+        sum_probe += (hi - lo) * probe_value
+
+    all in wrap-around uint64 — no intermediate pair list, no second pass.
+    """
+    Pb = bkeys.shape[0]
+    live_b = jnp.arange(Pb, dtype=jnp.int32) < n_build
+    k = jnp.where(live_b, bkeys, _PAD_KEY)
+    perm = jnp.argsort(k)
+    sk = k[perm]
+    sv = jnp.where(live_b, bvals, 0)[perm].astype(jnp.uint64)
+    pref = jnp.concatenate([jnp.zeros((1,), jnp.uint64), jnp.cumsum(sv)])
+    lo = jnp.minimum(jnp.searchsorted(sk, pkeys, side="left"), n_build)
+    hi = jnp.minimum(jnp.searchsorted(sk, pkeys, side="right"), n_build)
+    Pp = pkeys.shape[0]
+    live_p = jnp.arange(Pp, dtype=jnp.int32) < n_probe
+    cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.uint64)
+    sum_build = jnp.sum(jnp.where(live_p, pref[hi] - pref[lo], 0))
+    sum_probe = jnp.sum(cnt * pvals.astype(jnp.uint64))
+    total = jnp.sum(cnt)
+    return total, sum_build, sum_probe
+
+
+# ---------------------------------------------------------------------------
+# End-to-end SPMD programs
+# ---------------------------------------------------------------------------
+
+
+def make_dist_join_checksum(mesh: Mesh, cap: int):
+    """Build the jitted SPMD program: filter → hash shuffle → local join →
+    psum'd (count, sum_build_col, sum_probe_col).
+
+    Inputs are row-sharded columns; `filter_const` applies `> const` to the
+    build side's payload column before the join (a representative one-join
+    query: `SELECT SUM(r.b), SUM(s.c) FROM r, s WHERE r.a = s.a AND r.b > k`).
+    The three outputs are replicated scalars — bit-exact wrap-around uint64,
+    identical on every chip.
+    """
+    ndev = mesh.devices.size
+
+    def step(r_key, r_val, s_key, s_val, filter_const):
+        live_r = r_val > filter_const
+        live_s = jnp.ones(s_key.shape, dtype=bool)
+        sk_r, sp_r, cnt_r, _ = partition_for_exchange(r_key, r_val, live_r, ndev, cap)
+        sk_s, sp_s, cnt_s, _ = partition_for_exchange(s_key, s_val, live_s, ndev, cap)
+        bk, bv, nb = exchange(sk_r, sp_r, cnt_r)
+        pk, pv, npr = exchange(sk_s, sp_s, cnt_s)
+        total, sum_b, sum_p = local_join_checksum(bk, bv, nb, pk, pv, npr)
+        return (jax.lax.psum(total, AXIS), jax.lax.psum(sum_b, AXIS),
+                jax.lax.psum(sum_p, AXIS))
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def make_exchange_counts(mesh: Mesh):
+    """First-pass program: exact per-destination row counts after the
+    shuffle, so the host can pick the send capacity (SURVEY §7.1 two-phase
+    rule).  Returns max rows any chip receives from any single peer."""
+    ndev = mesh.devices.size
+
+    def step(keys):
+        live = jnp.ones(keys.shape, dtype=bool)
+        dest = _dest_of(keys, live, ndev)
+        hist = jnp.bincount(dest, length=ndev + 1).astype(jnp.int32)[:ndev]
+        return jax.lax.pmax(jnp.max(hist), AXIS)
+
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))
+
+
+def make_dist_checksum(mesh: Mesh):
+    """Distributed wrap-around uint64 SUM of a row-sharded column."""
+    def step(col):
+        return jax.lax.psum(jnp.sum(col, dtype=jnp.uint64), AXIS)
+
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))

@@ -7,12 +7,24 @@ real slice (SURVEY §4 implication (c)).  Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the container may pin JAX_PLATFORMS to the tunneled TPU
+# (e.g. "axon"), which has 1 device and ~30s compiles — tests must not
+# inherit that.  Set S18_TEST_TPU=1 to run the suite on the real chip.
+if os.environ.get("S18_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if os.environ.get("S18_TEST_TPU") != "1":
+    # The container's sitecustomize registers the tunneled TPU backend and
+    # overrides jax_platforms directly — env vars alone don't win; the
+    # config knob does.  Must run before any backend is initialized.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
