@@ -45,19 +45,33 @@ def main() -> None:
     ]
 
     # ---- untimed prep: load, transfer, compile (contest prep window) ----
-    catalog = Catalog.from_files(init)
-    engine = JaxEngine(catalog, EngineConfig.from_env())
-    engine.prefetch()
-    warm = [engine.execute(q) for batch in batches for q in batch]
+    from concurrent.futures import ThreadPoolExecutor
 
+    config = EngineConfig.from_env()
+    catalog = Catalog.from_files(init)
+    engine = JaxEngine(catalog, config)
+    engine.prefetch()
+    pool = ThreadPoolExecutor(max(config.batch_workers, 1))
+
+    def run_batch(batch):
+        # Same pipeline as io/repl.py: dispatch the whole batch, then one
+        # packed fetch for every result.
+        from sigmod2018_tpu.engine.executor import format_batch
+
+        results = list(pool.map(engine.execute_async, batch))
+        return format_batch(results)
+
+    # Serial first pass: concurrent fresh compiles can wedge the remote
+    # compile service; once every program shape is cached, threads are safe.
+    warm = [engine.execute(q) for batch in batches for q in batch]
+    warm = [line for batch in batches for line in run_batch(batch)]
     mismatches = sum(1 for got, want in zip(warm, expected) if got != want)
     mismatches += abs(len(warm) - len(expected))
 
     # ---- timed pass -----------------------------------------------------
     t0 = time.perf_counter()
     for batch in batches:
-        for q in batch:
-            engine.execute(q)
+        run_batch(batch)
     ms = (time.perf_counter() - t0) * 1000.0
 
     print(json.dumps({

@@ -29,6 +29,13 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# S18_PLATFORM=cpu|tpu|axon forces the backend.  The env var route
+# (JAX_PLATFORMS) can be preempted by container site hooks that call
+# jax.config.update directly, so we go through the config knob too.
+_platform = os.environ.get("S18_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 # Persistent compilation cache: the engine compiles one program per
 # (operator, size-class) pair; caching across processes makes the contest's
 # untimed prep phase absorb all compilation on reruns.

@@ -29,6 +29,15 @@ class EngineConfig:
     # Join-order optimization via DP enumeration (reference best_tree.c).
     optimize_joins: bool = True
 
+    # Fuse the last join of a query with the checksum reduction
+    # (ops/agg_join.py): the final intermediate is never materialized.
+    fuse_final_join: bool = True
+
+    # Threads dispatching queries of one batch concurrently.  Device work
+    # is serialized by XLA; the threads exist to overlap the per-query
+    # host syncs (each costs a full RTT on a tunneled TPU).
+    batch_workers: int = 8
+
     # Emit per-operator timings / chosen plans to stderr.
     explain: bool = False
     trace: bool = False
@@ -47,6 +56,8 @@ class EngineConfig:
             join_algo=_flag("S18_JOIN", "sort"),
             radix_bits=int(_flag("S18_RADIX_BITS", "4")),
             optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
+            fuse_final_join=_flag("S18_FUSE", "1") != "0",
+            batch_workers=int(_flag("S18_WORKERS", "8")),
             explain=_flag("S18_EXPLAIN", "0") == "1",
             trace=_flag("S18_TRACE", "0") == "1",
             mesh_devices=int(_flag("S18_MESH", "1")),

@@ -7,21 +7,35 @@ This is the TPU-native restatement of the reference's interpreter
 - an intermediate component is a dense [A, P] int32 row-id matrix on device
   (A = active bindings, P = power-of-two padded row count) instead of a
   linked list of malloc'd columns (structs.h:97-111),
-- every operator is a statically-shaped jitted XLA program; data-dependent
-  cardinalities come back to the host as one scalar per operator, which
-  picks the next size class,
+- every operator is a statically-shaped jitted XLA program,
 - the pthread scheduler (scheduler.c) has no equivalent: intra-chip
   parallelism is XLA's, cross-chip parallelism lives in parallel/.
 
-Empty result at any point short-circuits to a NULL line; emptiness is
-preserved by every downstream operator, so this matches the oracle's
-NULL-iff-final-result-empty semantics (Joiner.cpp:108).
+Host-sync discipline (the performance rule on tunneled/remote TPUs, where
+every device→host readback costs a full RTT):
+
+- filter / self-join / same-component-join counts stay ON DEVICE as int32
+  scalars threaded into the next operator's `n_valid`; no readback,
+- only an intermediate join syncs (its output cardinality sizes the next
+  static shape — SURVEY §7.3 "dynamic shapes everywhere"),
+- the LAST join of a query is fused with the checksum (ops/agg_join.py):
+  the final — usually largest — intermediate is never materialized and
+  costs no sync,
+- execute_async() returns a PendingResult whose single packed device
+  vector [count, sum_0, ..sum_V] is fetched once, when the protocol
+  layer formats the output line; whole batches pipeline on the device.
+
+Empty-result semantics: the reference short-circuits to a NULL line the
+moment any operator yields zero rows (query.c:358-371).  Deferring counts
+keeps the same observable output — every operator preserves emptiness, so
+final count == 0  ⇔  some operator went empty  ⇔  NULL line
+(the oracle's NULL-iff-empty rule, Joiner.cpp:108).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +49,20 @@ from .. import ops
 
 _MASK64 = (1 << 64) - 1
 
+Count = Union[int, jax.Array]  # host int or device int32/uint64 scalar
+
+
+def _n32(n: Count) -> jax.Array:
+    if isinstance(n, jax.Array):
+        return n if n.dtype == jnp.int32 else n.astype(jnp.int32)
+    return jnp.int32(n)
+
+
+def _u64(n: Count) -> jax.Array:
+    if isinstance(n, jax.Array):
+        return n if n.dtype == jnp.uint64 else n.astype(jnp.uint64)
+    return jnp.uint64(n)
+
 
 @dataclasses.dataclass
 class Component:
@@ -42,10 +70,67 @@ class Component:
 
     bindings: Tuple[int, ...]  # order matches table rows
     table: jax.Array  # [len(bindings), P] int32 row-ids into base tables
-    count: int  # live rows (host)
+    count: Count  # live rows (host int once known, else device scalar)
 
     def row(self, binding: int) -> jax.Array:
         return self.table[self.bindings.index(binding)]
+
+
+class PendingResult:
+    """A query's answer as one device vector [count, sum_0, ... sum_{V-1}]
+    (uint64).  `line()` performs the single host readback and formats."""
+
+    def __init__(self, packed: jax.Array, num_views: int):
+        self.packed = packed
+        self.num_views = num_views
+
+    def line(self) -> str:
+        arr = np.asarray(self.packed)
+        if int(arr[0]) == 0:
+            return " ".join("NULL" for _ in range(self.num_views))
+        return " ".join(str(int(v) & _MASK64) for v in arr[1:])
+
+
+class NullResult:
+    """Known-empty early exit (host already observed a zero cardinality)."""
+
+    def __init__(self, num_views: int):
+        self.num_views = num_views
+
+    def line(self) -> str:
+        return " ".join("NULL" for _ in range(self.num_views))
+
+
+Result = Union[PendingResult, NullResult]
+
+
+def format_batch(results: Sequence) -> List[str]:
+    """Format a batch of results with ONE device→host transfer.
+
+    Per-query fetches each cost a full RTT on a tunneled TPU; a 50-query
+    batch pays it once by concatenating every PendingResult's packed
+    vector on device first.  Non-Pending entries (NullResult, plain
+    error strings) pass through."""
+    pend = [r for r in results if isinstance(r, PendingResult)]
+    if len(pend) > 1:
+        flat = np.asarray(jnp.concatenate([r.packed for r in pend]))
+        off = 0
+        for r in pend:
+            r._fetched = flat[off:off + 1 + r.num_views]  # type: ignore
+            off += 1 + r.num_views
+    lines = []
+    for r in results:
+        if isinstance(r, str):
+            lines.append(r)
+        elif isinstance(r, PendingResult) and getattr(r, "_fetched", None) is not None:
+            arr = r._fetched  # type: ignore
+            if int(arr[0]) == 0:
+                lines.append(" ".join("NULL" for _ in range(r.num_views)))
+            else:
+                lines.append(" ".join(str(int(v) & _MASK64) for v in arr[1:]))
+        else:
+            lines.append(r.line())
+    return lines
 
 
 class JaxEngine:
@@ -60,6 +145,13 @@ class JaxEngine:
             from ..planner import plan_joins
 
             self._planner = plan_joins
+        self._ops = ops
+        self._tracer = None
+        if config.trace:
+            from .trace import TimedOps, Tracer
+
+            self._tracer = Tracer()
+            self._ops = TimedOps(ops, self._tracer)
 
     # ---- storage ---------------------------------------------------------
 
@@ -81,13 +173,27 @@ class JaxEngine:
         for rid, rel in enumerate(self.catalog.relations):
             for cid in range(rel.num_columns):
                 self.device_column(rid, cid)
-        # Block until everything landed.
         for dev, _ in self._columns.values():
             dev.block_until_ready()
 
     # ---- execution -------------------------------------------------------
 
     def execute(self, query: Query) -> str:
+        return self.execute_async(query).line()
+
+    def execute_async(self, query: Query) -> Result:
+        if self._tracer is not None:
+            self._tracer.reset()
+            try:
+                return self._execute_traced(query)
+            finally:
+                self._tracer.report(query.text)
+        return self._execute(query)
+
+    def _execute_traced(self, query: Query) -> Result:
+        return self._execute(query)
+
+    def _execute(self, query: Query) -> Result:
         components: List[Component] = []
 
         def find(binding: int) -> Optional[Component]:
@@ -99,14 +205,12 @@ class JaxEngine:
         def col_of(binding: int, column: int) -> Tuple[jax.Array, int]:
             return self.device_column(query.relations[binding], column)
 
-        # ---- phase 1: filters and self-joins ----------------------------
+        # ---- phase 1: filters and self-joins (no host syncs) -------------
         for pred in query.filters_and_selfjoins:
             if isinstance(pred, FilterPred):
-                comp = self._exec_filter(components, find, col_of, pred)
+                self._exec_filter(components, find, col_of, pred)
             else:
-                comp = self._exec_selfjoin(components, find, col_of, pred)
-            if comp.count == 0:
-                return _null_line(query)
+                self._exec_selfjoin(components, find, col_of, pred)
 
         # ---- phase 2: joins ----------------------------------------------
         joins = query.joins
@@ -118,143 +222,145 @@ class JaxEngine:
                 order = " -> ".join(str(j) for j in joins)
                 print(f"-- plan: {order}", file=sys.stderr)
 
-        for jp in joins:
-            comp = self._exec_join(components, find, col_of, jp)
-            if comp.count == 0:
-                return _null_line(query)
+        view_bindings = {b for b, _ in query.views}
+        for idx, jp in enumerate(joins):
+            comp_l = find(jp.binding1)
+            comp_r = find(jp.binding2)
+
+            if comp_l is not None and comp_l is comp_r:
+                # Both sides live in one component: value-equality selection
+                # (reference JoinInterNode, inter_res.c:363-389).
+                c1dev, _ = col_of(jp.binding1, jp.column1)
+                c2dev, _ = col_of(jp.binding2, jp.column2)
+                v1 = self._ops.gather_u64(c1dev, comp_l.row(jp.binding1))
+                v2 = self._ops.gather_u64(c2dev, comp_l.row(jp.binding2))
+                mask = self._ops.equal_mask(v1, v2, _n32(comp_l.count))
+                self._compact(components, comp_l, mask)
+                continue
+
+            if self.config.fuse_final_join and idx == len(joins) - 1:
+                new_bindings = set((jp.binding1, jp.binding2))
+                if comp_l is not None:
+                    new_bindings |= set(comp_l.bindings)
+                if comp_r is not None:
+                    new_bindings |= set(comp_r.bindings)
+                lone = all(c is comp_l or c is comp_r for c in components)
+                if lone and view_bindings <= new_bindings:
+                    return self._exec_join_fused(
+                        query, col_of, comp_l, comp_r, jp
+                    )
+
+            comp = self._exec_join(components, comp_l, comp_r, col_of, jp)
+            if comp.count == 0:  # host int: the sized emit observed zero
+                return NullResult(len(query.views))
 
         # ---- phase 3: cartesian of leftovers ------------------------------
-        for b, _ in query.views:
+        for b in view_bindings:
             if find(b) is None:
                 n = self.catalog.relation(query.relations[b]).num_tuples
                 if n == 0:
-                    return _null_line(query)
+                    return NullResult(len(query.views))
                 P = size_class(n, self.config.min_pad)
                 ident = jnp.arange(P, dtype=jnp.int32)[None, :]
                 components.append(Component((b,), ident, n))
         while len(components) > 1:
             c1, c2 = components[0], components[1]
-            total = c1.count * c2.count
+            n1 = self._host_count(c1)
+            n2 = self._host_count(c2)
+            total = n1 * n2
             if total == 0:
-                return _null_line(query)
+                return NullResult(len(query.views))
             P = size_class(total, self.config.min_pad)
-            i1, i2 = ops.cartesian_indices(
-                jnp.int64(c1.count), jnp.int64(c2.count), out_size=P
+            i1, i2 = self._ops.cartesian_indices(
+                jnp.int64(n1), jnp.int64(n2), out_size=P
             )
             table = jnp.concatenate(
-                [ops.take_cols(c1.table, i1), ops.take_cols(c2.table, i2)], axis=0
+                [self._ops.take_cols(c1.table, i1), self._ops.take_cols(c2.table, i2)], axis=0
             )
             merged = Component(c1.bindings + c2.bindings, table, total)
             components = [merged] + components[2:]
 
-        if not components or components[0].count == 0:
-            return _null_line(query)
+        if not components:
+            return NullResult(len(query.views))
 
-        # ---- phase 4: checksums -------------------------------------------
+        # ---- phase 4: checksums (single packed fetch) ---------------------
         comp = components[0]
-        n = jnp.int32(comp.count)
-        sums = []
+        n = _n32(comp.count)
+        parts = [_u64(comp.count).reshape(1)]
         for b, c in query.views:
             coldev, _ = col_of(b, c)
-            sums.append(ops.checksum(coldev, comp.row(b), n))
-        return " ".join(str(int(s) & _MASK64) for s in sums)
+            parts.append(self._ops.checksum(coldev, comp.row(b), n).reshape(1))
+        return PendingResult(jnp.concatenate(parts), len(query.views))
 
     # ---- operator implementations ----------------------------------------
 
-    def _shrink(self, comp: Component) -> Component:
-        """Drop to a smaller size class when the live count allows it."""
-        P = size_class(comp.count, self.config.min_pad)
-        if P < comp.table.shape[1]:
-            comp = Component(comp.bindings, comp.table[:, :P], comp.count)
-        return comp
+    def _host_count(self, comp: Component) -> int:
+        if not isinstance(comp.count, int):
+            comp.count = int(comp.count)
+        return comp.count
 
-    def _exec_filter(self, components, find, col_of, pred: FilterPred) -> Component:
+    def _exec_filter(self, components, find, col_of, pred: FilterPred) -> None:
         coldev, n_base = col_of(pred.binding, pred.column)
         const = jnp.uint64(pred.value & _MASK64)
         comp = find(pred.binding)
         if comp is None:
-            mask = ops.compare_mask(coldev, jnp.int32(n_base), pred.op, const)
-            pos, cnt = ops.mask_positions(mask, out_size=coldev.shape[0])
-            count = int(cnt)
-            new = self._shrink(Component((pred.binding,), pos[None, :], count))
-            components.append(new)
-            return new
-        vals = ops.gather_u64(coldev, comp.row(pred.binding))
-        mask = ops.compare_mask(vals, jnp.int32(comp.count), pred.op, const)
-        return self._compact(components, comp, mask)
+            mask = self._ops.compare_mask(coldev, jnp.int32(n_base), pred.op, const)
+            pos, cnt = self._ops.mask_positions(mask, out_size=coldev.shape[0])
+            components.append(Component((pred.binding,), pos[None, :], cnt))
+            return
+        vals = self._ops.gather_u64(coldev, comp.row(pred.binding))
+        mask = self._ops.compare_mask(vals, _n32(comp.count), pred.op, const)
+        self._compact(components, comp, mask)
 
-    def _exec_selfjoin(self, components, find, col_of, pred: JoinPred) -> Component:
+    def _exec_selfjoin(self, components, find, col_of, pred: JoinPred) -> None:
         c1dev, n_base = col_of(pred.binding1, pred.column1)
         c2dev, _ = col_of(pred.binding1, pred.column2)
         comp = find(pred.binding1)
         if comp is None:
-            mask = ops.equal_mask(c1dev, c2dev, jnp.int32(n_base))
-            pos, cnt = ops.mask_positions(mask, out_size=c1dev.shape[0])
-            count = int(cnt)
-            new = self._shrink(Component((pred.binding1,), pos[None, :], count))
-            components.append(new)
-            return new
+            mask = self._ops.equal_mask(c1dev, c2dev, jnp.int32(n_base))
+            pos, cnt = self._ops.mask_positions(mask, out_size=c1dev.shape[0])
+            components.append(Component((pred.binding1,), pos[None, :], cnt))
+            return
         rids = comp.row(pred.binding1)
-        mask = ops.equal_mask(
-            ops.gather_u64(c1dev, rids), ops.gather_u64(c2dev, rids), jnp.int32(comp.count)
+        mask = self._ops.equal_mask(
+            self._ops.gather_u64(c1dev, rids), self._ops.gather_u64(c2dev, rids),
+            _n32(comp.count),
         )
-        return self._compact(components, comp, mask)
+        self._compact(components, comp, mask)
 
-    def _compact(self, components, comp: Component, mask: jax.Array) -> Component:
-        pos, cnt = ops.mask_positions(mask, out_size=comp.table.shape[1])
-        count = int(cnt)
-        new = self._shrink(Component(comp.bindings, ops.take_cols(comp.table, pos), count))
+    def _compact(self, components, comp: Component, mask: jax.Array) -> None:
+        pos, cnt = self._ops.mask_positions(mask, out_size=comp.table.shape[1])
+        new = Component(comp.bindings, self._ops.take_cols(comp.table, pos), cnt)
         components[:] = [c if c is not comp else new for c in components]
-        return new
-
-    def _exec_join(self, components, find, col_of, jp: JoinPred) -> Component:
-        comp_l = find(jp.binding1)
-        comp_r = find(jp.binding2)
-
-        if comp_l is not None and comp_l is comp_r:
-            # Both sides live in one component: value-equality selection
-            # (reference JoinInterNode, inter_res.c:363-389).
-            c1dev, _ = col_of(jp.binding1, jp.column1)
-            c2dev, _ = col_of(jp.binding2, jp.column2)
-            v1 = ops.gather_u64(c1dev, comp_l.row(jp.binding1))
-            v2 = ops.gather_u64(c2dev, comp_l.row(jp.binding2))
-            mask = ops.equal_mask(v1, v2, jnp.int32(comp_l.count))
-            return self._compact(components, comp_l, mask)
-
-        keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
-        keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
-
-        build_left = n_l <= n_r
-        keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
-        keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
-
-        sorted_keys, perm = ops.join_build(keys_b, jnp.int32(n_b))
-        lo, cnt, ccum, total_dev = ops.join_probe_count(
-            sorted_keys, jnp.int32(n_b), keys_p, jnp.int32(n_p)
-        )
-        total = int(total_dev)
-        new = self._merge_join_output(
-            components, comp_l, comp_r, jp, build_left, perm, lo, ccum,
-            total_dev, total,
-        )
-        return new
 
     def _join_keys(self, col_of, comp: Optional[Component], binding: int,
-                   column: int) -> Tuple[jax.Array, int]:
+                   column: int) -> Tuple[jax.Array, Count]:
         coldev, n_base = col_of(binding, column)
         if comp is None:
             return coldev, n_base
-        return ops.gather_u64(coldev, comp.row(binding)), comp.count
+        return self._ops.gather_u64(coldev, comp.row(binding)), comp.count
 
-    def _merge_join_output(self, components, comp_l, comp_r, jp: JoinPred,
-                           build_left: bool, perm, lo, ccum, total_dev,
-                           total: int) -> Component:
+    def _exec_join(self, components, comp_l, comp_r, col_of,
+                   jp: JoinPred) -> Component:
+        keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
+        keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
+
+        # Build (= sorted) side by padded size: sort cost is driven by the
+        # static shape, which the host knows without a readback.
+        build_left = keys_l.shape[0] <= keys_r.shape[0]
+        keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
+        keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
+
+        sorted_keys, perm = self._ops.join_build(keys_b, _n32(n_b))
+        lo, cnt, ccum, total_dev = self._ops.join_probe_count(
+            sorted_keys, _n32(n_b), keys_p, _n32(n_p)
+        )
+        total = int(total_dev)  # the one required sync: sizes the emit
         if total == 0:
-            empty = Component((jp.binding1, jp.binding2),
-                              jnp.zeros((2, self.config.min_pad), jnp.int32), 0)
-            return empty
+            return Component((jp.binding1, jp.binding2),
+                             jnp.zeros((2, self.config.min_pad), jnp.int32), 0)
         P = size_class(total, self.config.min_pad)
-        bpos, ppos = ops.join_emit(perm, lo, ccum, total_dev, out_size=P)
+        bpos, ppos = self._ops.join_emit(perm, lo, ccum, total_dev, out_size=P)
         pos_l, pos_r = (bpos, ppos) if build_left else (ppos, bpos)
 
         rows: List[jax.Array] = []
@@ -264,7 +370,7 @@ class JaxEngine:
             (comp_r, jp.binding2, pos_r),
         ):
             if comp is not None:
-                rows.append(ops.take_cols(comp.table, pos))
+                rows.append(self._ops.take_cols(comp.table, pos))
                 bindings.extend(comp.bindings)
                 components[:] = [c for c in components if c is not comp]
             else:
@@ -274,6 +380,68 @@ class JaxEngine:
         components.append(new)
         return new
 
+    # Views per side are zero-padded to a fixed width so the fused program
+    # specializes only on (P_build, P_probe), not on how many projections
+    # land on each side — remote-compile servers make program-shape
+    # diversity expensive.
+    _FUSED_VPAD = 4
 
-def _null_line(query: Query) -> str:
-    return " ".join("NULL" for _ in query.views)
+    def _zeros_u64(self, P: int) -> jax.Array:
+        z = self._columns.get(("__zeros__", P))
+        if z is None:
+            z = (jnp.zeros((P,), jnp.uint64), 0)
+            self._columns[("__zeros__", P)] = z
+        return z[0]
+
+    def _exec_join_fused(self, query: Query, col_of, comp_l, comp_r,
+                         jp: JoinPred) -> PendingResult:
+        """Last join + checksums in one program (ops/agg_join.py): the
+        final intermediate is never materialized and needs no sync."""
+        keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
+        keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
+        build_left = keys_l.shape[0] <= keys_r.shape[0]
+
+        def side_of(binding: int) -> bool:
+            """True = the jp.binding1 (left) side."""
+            if comp_l is not None and binding in comp_l.bindings:
+                return True
+            if comp_r is not None and binding in comp_r.bindings:
+                return False
+            return binding == jp.binding1
+
+        keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
+        keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
+        V = max(len(query.views), self._FUSED_VPAD)
+        brows = [self._zeros_u64(keys_b.shape[0])] * V
+        prows = [self._zeros_u64(keys_p.shape[0])] * V
+        for vi, (b, c) in enumerate(query.views):
+            coldev, _ = col_of(b, c)
+            comp = comp_l if side_of(b) else comp_r
+            vals = coldev if comp is None else self._ops.gather_u64(coldev, comp.row(b))
+            if side_of(b) == build_left:
+                brows[vi] = vals
+            else:
+                prows[vi] = vals
+
+        fused = self._ops.join_checksum_fused
+        if self.config.join_algo == "radix":
+            from ..ops.radix_join import radix_join_checksum
+
+            def fused(kb, bc, nb, kp, pc, np_):
+                try:
+                    return radix_join_checksum(
+                        kb, bc, nb, kp, pc, np_,
+                        bits=self.config.radix_bits)
+                except ValueError:  # bucket overflow: fall back to sort
+                    return self._ops.join_checksum_fused(kb, bc, nb, kp, pc, np_)
+
+        count, sums_b, sums_p = fused(
+            keys_b, jnp.stack(brows), _n32(n_b),
+            keys_p, jnp.stack(prows), _n32(n_p),
+        )
+        # Each view's values live on exactly one side; the other side's
+        # zero column contributes 0 to both partial sums.
+        packed = jnp.concatenate(
+            [count.reshape(1), (sums_b + sums_p)[: len(query.views)]]
+        )
+        return PendingResult(packed, len(query.views))

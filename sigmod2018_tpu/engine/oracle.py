@@ -70,9 +70,18 @@ def _join_pairs(keys_l: np.ndarray, keys_r: np.ndarray) -> Tuple[np.ndarray, np.
     return li, rj
 
 
+class OracleOverflow(RuntimeError):
+    """An intermediate exceeded max_rows (workload-generator guard)."""
+
+
 def execute_query_numpy(query: Query, catalog: Catalog,
-                        join_order: Optional[Sequence[JoinPred]] = None) -> str:
+                        join_order: Optional[Sequence[JoinPred]] = None,
+                        max_rows: Optional[int] = None) -> str:
     components: List[Component] = []
+
+    def guard(n: int) -> None:
+        if max_rows is not None and n > max_rows:
+            raise OracleOverflow(f"{n} rows > cap {max_rows}")
 
     def col(binding: int, column: int) -> np.ndarray:
         return catalog.column(query.relations[binding], column)
@@ -144,6 +153,7 @@ def execute_query_numpy(query: Query, catalog: Catalog,
             n = li.size
         if n == 0:
             return _null_line(query)
+        guard(n)
 
     # ---- phase 3: cartesian product of leftover components -------------
     # (reference: CartesianInterResults, inter_res.c:391-428; bindings that
@@ -156,6 +166,7 @@ def execute_query_numpy(query: Query, catalog: Catalog,
         c1, c2 = components[0], components[1]
         n1 = next(iter(c1.values())).size
         n2 = next(iter(c2.values())).size
+        guard(n1 * n2)
         merged: Component = {}
         for b in c1:
             merged[b] = np.repeat(c1[b], n2)

@@ -40,24 +40,66 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
     if config.backend == "numpy":
         from ..engine.oracle import execute_query_numpy
 
-        def run_one(q: Query) -> str:
+        def run_async(q: Query):
             return execute_query_numpy(q, catalog)
+
+        pool = None
     else:
-        from ..engine.executor import JaxEngine
+        from concurrent.futures import ThreadPoolExecutor
 
-        engine = JaxEngine(catalog, config)
+        if config.mesh_devices > 1:
+            from ..parallel.dist_engine import DistJaxEngine
+
+            engine = DistJaxEngine(catalog, config)
+        else:
+            from ..engine.executor import JaxEngine
+
+            engine = JaxEngine(catalog, config)
         engine.prefetch()
-        run_one = engine.execute
+        run_async = engine.execute_async
+        # Threads overlap per-query host syncs; device execution stays
+        # serialized (and deterministic) inside XLA.
+        pool = (ThreadPoolExecutor(config.batch_workers)
+                if config.batch_workers > 1 else None)
 
-    def run_isolated(q) -> str:
+    def null_line(q: Query) -> str:
+        return " ".join("NULL" for _ in q.views) if q.views else "NULL"
+
+    def start(q: Query):
         # Per-query fault isolation: one bad query must not kill the batch
         # (the reference exits the process on internal errors, query.c:424;
         # we degrade to a NULL line and keep serving).
         try:
-            return run_one(q)
+            return run_async(q)
         except Exception as exc:  # noqa: BLE001
             print(f"query error: {exc!r} in {q.text!r}", file=sys.stderr)
-            return " ".join("NULL" for _ in q.views) if q.views else "NULL"
+            return null_line(q)
+
+    def finish(q: Query, res) -> str:
+        if isinstance(res, str):
+            return res
+        try:
+            return res.line()
+        except Exception as exc:  # noqa: BLE001
+            print(f"query error: {exc!r} in {q.text!r}", file=sys.stderr)
+            return null_line(q)
+
+    def run_batch(batch: List[Query]) -> None:
+        # Dispatch the whole batch to the device before fetching any
+        # result line (SURVEY §7.3 batch-level pipelining).
+        if pool is not None:
+            results = list(pool.map(start, batch))
+        else:
+            results = [start(q) for q in batch]
+        try:
+            from ..engine.executor import format_batch
+
+            lines = format_batch(results)
+        except Exception:  # degraded path: per-query fetch
+            lines = [finish(q, res) for q, res in zip(batch, results)]
+        for line in lines:
+            stdout.write(line + "\n")
+        stdout.flush()
 
     batch: List[Query] = []
     for raw in stdin:
@@ -67,9 +109,7 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         if not line:
             continue
         if line == "F":
-            for q in batch:
-                stdout.write(run_isolated(q) + "\n")
-            stdout.flush()
+            run_batch(batch)
             batch = []
             continue
         try:
@@ -79,9 +119,7 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
             batch.append(Query((), (), ((0, 0),), text=line))
     # Trailing unterminated batch (EOF without final F) still executes,
     # matching the C++ driver's per-line behavior (main.cpp:17-22).
-    for q in batch:
-        stdout.write(run_isolated(q) + "\n")
-    stdout.flush()
+    run_batch(batch)
 
 
 def main() -> None:

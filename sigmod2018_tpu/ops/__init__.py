@@ -9,6 +9,8 @@ from .select import (
     checksum_many,
 )
 from .sort_join import join_build, join_probe_count, join_emit
+from .agg_join import join_checksum_fused
+from .radix_join import radix_join_checksum
 from .cartesian import cartesian_indices
 
 __all__ = [
@@ -21,5 +23,6 @@ __all__ = [
     "join_build",
     "join_probe_count",
     "join_emit",
+    "join_checksum_fused",
     "cartesian_indices",
 ]

@@ -1,0 +1,224 @@
+"""Pallas radix join: bucketed all-pairs probe with fused checksums.
+
+TPU-native restatement of the reference's radix hash join (rhjoin.c:13-111,
+preprocess.c): partition both sides on the low key bits, then join each
+bucket pair.  Architecture mapping:
+
+  reference                         here
+  ---------                         ----
+  HistJob histogram (preprocess.c   XLA bincount over bucket ids (the
+  :181-195)                         histogram *is* a vector op)
+  PartitionJob rescan-scatter       stable argsort by bucket id + scatter
+  (preprocess.c:222-299)            into a [B, S] padded bucket matrix —
+                                    a counting sort, no rescans
+  bucket-chain index + chain walk   no index at all: a bucket holds ~n/B
+  (rhjoin.c:219-309, LOOP 3/4)      rows, so the probe is a VMEM-tiled
+                                    all-pairs key compare on the VPU —
+                                    pointer chasing becomes a dense
+                                    [Tp, Tb] compare/accumulate
+  GetResults emit + later checksum  fused: per-row match counts (pc/mc)
+  (rhjoin.c:141-217, inter_res.c)   turn into checksums via one weighted
+                                    reduction per side — no pair list
+
+Mosaic has no 64-bit integers, so the kernel works in u32 lanes: u64 keys
+are split hi/lo u32 (equality = both halves equal), and the kernel emits
+only per-row MATCH COUNTS (u32-exact: a count is bounded by the opposite
+side's slot width ≤ 2^15).  The u64 wrap-around checksums are then one
+weighted reduction per view column in XLA — Σ count_i · value_i mod 2^64
+— where 64-bit math exists.  Bit-exact, no 64-bit ops in the kernel.
+
+Two-level sizing: bucket slot counts are data-dependent, so the caller
+syncs ONCE on the max bucket size to pick the static slot width S
+(SURVEY §7.1 two-phase rule).  `radix_join_checksum` is the drop-in
+fused-final-join (count, sums_build, sums_probe) — same contract as
+ops/agg_join.py — selected by EngineConfig.join_algo == "radix".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+# Per-bucket slot cap: keeps the [tile, S] compare tiles inside VMEM and
+# match counts trivially inside u32.
+MAX_BUCKET = 1 << 15
+
+
+def _split_u64(x: jax.Array):
+    return (x >> jnp.uint64(32)).astype(jnp.uint32), x.astype(jnp.uint32)
+
+
+def _bucketize(keys: jax.Array, n_valid: jax.Array, bits: int, slots: int):
+    """Counting-sort rows into a [B, slots] matrix + per-bucket counts.
+
+    Dead rows (index >= n_valid) drop out.  Returns (bucketed_keys u64
+    [B, slots] PAD-filled, perm [B, slots] i32 original positions,
+    counts [B] i32).
+    """
+    B = 1 << bits
+    P = keys.shape[0]
+    live = jnp.arange(P, dtype=jnp.int32) < n_valid
+    bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
+    order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+    sb = bucket[order]
+    hist = jnp.bincount(bucket, length=B + 1).astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:-1], dtype=jnp.int32)]
+    )
+    rank = jnp.arange(P, dtype=jnp.int32) - starts[sb]
+    bk = jnp.full((B, slots), _PAD_KEY, dtype=jnp.uint64)
+    bk = bk.at[sb, rank].set(keys[order], mode="drop")
+    perm = jnp.zeros((B, slots), dtype=jnp.int32)
+    perm = perm.at[sb, rank].set(order, mode="drop")
+    return bk, perm, jnp.minimum(hist[:B], slots)
+
+
+def _probe_kernel(nb_ref, np_ref, bh_ref, bl_ref, ph_ref, pl_ref,
+                  cnt_ref, mc_ref, pc_ref, *, tile: int):
+    """One radix bucket: per-row match counts via tiled all-pairs compare.
+
+    mc[j] = #probe rows matching build row j; pc[i] = #build rows matching
+    probe row i; cnt = Σ pc.  Shapes: build [1, Sb], probe [1, Sp]."""
+    Sb = bh_ref.shape[1]
+    Sp = ph_ref.shape[1]
+    nb = nb_ref[0, 0]
+    npr = np_ref[0, 0]
+
+    bh = bh_ref[0, :]
+    bl = bl_ref[0, :]
+    live_b = jax.lax.broadcasted_iota(jnp.int32, (1, Sb), 1)[0] < nb
+
+    mc_acc = jnp.zeros((Sb,), jnp.uint32)
+    pc_out = jnp.zeros((Sp,), jnp.uint32)
+
+    def probe_tile(t, carry):
+        mc_acc, pc_out = carry
+        ph = ph_ref[0, pl.ds(t * tile, tile)]
+        plo = pl_ref[0, pl.ds(t * tile, tile)]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+        live_p = (idx + t * tile) < npr
+        # [tile, Sb] all-pairs equality
+        eq = (
+            (ph[:, None] == bh[None, :])
+            & (plo[:, None] == bl[None, :])
+            & live_p[:, None]
+            & live_b[None, :]
+        )
+        equ = eq.astype(jnp.uint32)
+        mc_acc = mc_acc + jnp.sum(equ, axis=0, dtype=jnp.uint32)
+        pc_t = jnp.sum(equ, axis=1, dtype=jnp.uint32)
+        pc_out = jax.lax.dynamic_update_slice(pc_out, pc_t, (t * tile,))
+        return mc_acc, pc_out
+
+    mc_acc, pc_out = jax.lax.fori_loop(
+        0, Sp // tile, probe_tile, (mc_acc, pc_out)
+    )
+    mc_ref[0, :] = mc_acc
+    pc_ref[0, :] = pc_out
+    cnt_ref[0, :] = jnp.zeros((8,), jnp.uint32).at[0].set(
+        jnp.sum(pc_out, dtype=jnp.uint32)
+    )
+
+
+def _match_counts(bh, bl, nb, ph, plo, npr, *, interpret: bool):
+    """pallas_call wrapper: per-bucket mc/pc/cnt.  Inputs [B, S*] u32."""
+    B, Sb = bh.shape
+    Sp = ph.shape[1]
+    tile = min(Sp, 512)
+    grid = (B,)
+    row = lambda b: (b, 0)
+    return pl.pallas_call(
+        partial(_probe_kernel, tile=tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), row, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), row, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 8), jnp.uint32),
+            jax.ShapeDtypeStruct((B, Sb), jnp.uint32),
+            jax.ShapeDtypeStruct((B, Sp), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(nb[:, None], npr[:, None], bh, bl, ph, plo)
+
+
+def _weighted_u64_sum(counts: jax.Array, values: jax.Array) -> jax.Array:
+    """Σ counts[i] * values[i] (mod 2^64) — exact, in XLA u64."""
+    return jnp.sum(counts.astype(jnp.uint64) * values, dtype=jnp.uint64)
+
+
+@partial(jax.jit, static_argnames=("bits", "slots_b", "slots_p", "interpret"))
+def _radix_join_jit(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
+                    bits: int, slots_b: int, slots_p: int, interpret: bool):
+    bk, bperm, bcnt = _bucketize(keys_b, n_b, bits, slots_b)
+    pk, pperm, pcnt = _bucketize(keys_p, n_p, bits, slots_p)
+    bh, bl = _split_u64(bk)
+    ph, plo = _split_u64(pk)
+    cnt8, mc, pc = _match_counts(bh, bl, bcnt, ph, plo, pcnt,
+                                 interpret=interpret)
+    count = jnp.sum(cnt8[:, 0].astype(jnp.uint64))
+    # Weighted per-row sums: gather each bucketed row's value via the
+    # stored permutation, weight by its match count.  (The limb trick is
+    # only needed *inside* the kernel; out here XLA has u64.)
+    sums_b = jax.vmap(
+        lambda v: _weighted_u64_sum(mc.reshape(-1), v[bperm.reshape(-1)])
+    )(vals_b) if vals_b.shape[0] else jnp.zeros((0,), jnp.uint64)
+    sums_p = jax.vmap(
+        lambda v: _weighted_u64_sum(pc.reshape(-1), v[pperm.reshape(-1)])
+    )(vals_p) if vals_p.shape[0] else jnp.zeros((0,), jnp.uint64)
+    return count, sums_b, sums_p
+
+
+def bucket_slot_hint(keys: jax.Array, n_valid: jax.Array, bits: int):
+    """Max bucket occupancy (device scalar) — the caller's one sync to
+    size the static slot width."""
+    B = 1 << bits
+    P = keys.shape[0]
+    live = jnp.arange(P, dtype=jnp.int32) < n_valid
+    bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
+    return jnp.max(jnp.bincount(bucket, length=B + 1)[:B])
+
+
+_slot_hint_jit = jax.jit(bucket_slot_hint, static_argnames=("bits",))
+
+
+def radix_join_checksum(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
+                        bits: int = 8, interpret=None):
+    """Fused radix join + checksums (same contract as join_checksum_fused).
+
+    Syncs once per side for the slot width.  Falls back to wider slots
+    automatically; buckets beyond MAX_BUCKET rows are rejected (callers
+    use the sort path for pathologically skewed inputs).
+    """
+    from ..utils.padding import size_class
+
+    if interpret is None:  # Mosaic is TPU-only; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
+    sb = int(_slot_hint_jit(keys_b, jnp.int32(n_b), bits))
+    sp = int(_slot_hint_jit(keys_p, jnp.int32(n_p), bits))
+    slots_b = size_class(max(sb, 1), 128)
+    slots_p = size_class(max(sp, 1), 512)
+    if slots_b > MAX_BUCKET or slots_p > MAX_BUCKET:
+        raise ValueError(
+            f"bucket overflow (build {sb}, probe {sp} rows): raise `bits` "
+            f"or use the sort join"
+        )
+    return _radix_join_jit(keys_b, vals_b, jnp.int32(n_b),
+                           keys_p, vals_p, jnp.int32(n_p),
+                           bits, slots_b, slots_p, interpret)

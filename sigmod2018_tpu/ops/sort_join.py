@@ -53,8 +53,12 @@ def join_probe_count(sorted_keys: jax.Array, n_build: jax.Array,
     of cnt, total = ccum[-1].
     """
     Pp = probe_keys.shape[0]
-    lo = jnp.searchsorted(sorted_keys, probe_keys, side="left")
-    hi = jnp.searchsorted(sorted_keys, probe_keys, side="right")
+    # method="sort": the default scan-based binary search degenerates (~1000x)
+    # on TPU when the sorted array contains duplicate runs — which every
+    # real key column and every cumsum of counts has.  The sort-based
+    # lowering is data-independent.
+    lo = jnp.searchsorted(sorted_keys, probe_keys, side="left", method="sort")
+    hi = jnp.searchsorted(sorted_keys, probe_keys, side="right", method="sort")
     lo = jnp.minimum(lo, n_build).astype(jnp.int32)
     hi = jnp.minimum(hi, n_build).astype(jnp.int32)
     live = jnp.arange(Pp, dtype=jnp.int32) < n_probe
@@ -73,7 +77,7 @@ def join_emit(perm: jax.Array, lo: jax.Array, ccum: jax.Array,
     probe_pos indexes the probe input.  Slots >= total are padded with 0.
     """
     t = jnp.arange(out_size, dtype=jnp.int64)
-    i = jnp.searchsorted(ccum, t, side="right").astype(jnp.int32)
+    i = jnp.searchsorted(ccum, t, side="right", method="sort").astype(jnp.int32)
     i = jnp.minimum(i, ccum.shape[0] - 1)
     prev = jnp.where(i > 0, ccum[jnp.maximum(i - 1, 0)], 0)
     j = (t - prev).astype(jnp.int32)

@@ -10,6 +10,7 @@ from .dist import (
     local_join_checksum,
     make_dist_checksum,
     make_dist_join_checksum,
+    make_dist_join_checksum_skew,
     make_exchange_counts,
     make_mesh,
     partition_for_exchange,
@@ -22,6 +23,7 @@ __all__ = [
     "local_join_checksum",
     "make_dist_checksum",
     "make_dist_join_checksum",
+    "make_dist_join_checksum_skew",
     "make_exchange_counts",
     "make_mesh",
     "partition_for_exchange",

@@ -150,8 +150,10 @@ def local_join_checksum(bkeys: jax.Array, bvals: jax.Array, n_build: jax.Array,
     sk = k[perm]
     sv = jnp.where(live_b, bvals, 0)[perm].astype(jnp.uint64)
     pref = jnp.concatenate([jnp.zeros((1,), jnp.uint64), jnp.cumsum(sv)])
-    lo = jnp.minimum(jnp.searchsorted(sk, pkeys, side="left"), n_build)
-    hi = jnp.minimum(jnp.searchsorted(sk, pkeys, side="right"), n_build)
+    # method="sort": see ops/sort_join.py — scan-based search degenerates on
+    # duplicate key runs on TPU.
+    lo = jnp.minimum(jnp.searchsorted(sk, pkeys, side="left", method="sort"), n_build)
+    hi = jnp.minimum(jnp.searchsorted(sk, pkeys, side="right", method="sort"), n_build)
     Pp = pkeys.shape[0]
     live_p = jnp.arange(Pp, dtype=jnp.int32) < n_probe
     cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.uint64)
@@ -210,6 +212,131 @@ def make_exchange_counts(mesh: Mesh):
         return jax.lax.pmax(jnp.max(hist), AXIS)
 
     return jax.jit(shard_map(step, mesh=mesh, in_specs=(P(AXIS),), out_specs=P()))
+
+
+def _local_key_counts(keys: jax.Array, live: jax.Array):
+    """Per-row multiplicity of its own key within the local shard, and a
+    first-occurrence mask (for candidate extraction)."""
+    L = keys.shape[0]
+    k = jnp.where(live, keys, _PAD_KEY)
+    sk = jnp.sort(k)
+    lo = jnp.searchsorted(sk, k, side="left", method="sort")
+    hi = jnp.searchsorted(sk, k, side="right", method="sort")
+    cnt = jnp.where(live, hi - lo, 0).astype(jnp.int32)
+    # first occurrence in *unsorted* order: my position == min position of
+    # my key.  Approximate via sorted ranks: a row is "first" if its key's
+    # range start maps back to it after the sort permutation — cheaper:
+    # mark the sorted first-of-run and scatter back through argsort.
+    perm = jnp.argsort(k).astype(jnp.int32)
+    first_sorted = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    first = jnp.zeros((L,), bool).at[perm].set(first_sorted)
+    return cnt, first & live
+
+
+def make_dist_join_checksum_skew(mesh: Mesh, cap: int, hot_k: int = 16,
+                                 hot_cap: int = 256,
+                                 hot_threshold: int = 4):
+    """Skew-aware variant of make_dist_join_checksum.
+
+    A plain hash shuffle routes every row of a hot key to one chip — a
+    Zipf-distributed key column turns the all_to_all into a hot spot and
+    the owning chip into the critical path (north-star skew requirement,
+    BASELINE.json).  The split:
+
+      1. detect ≤hot_k global heavy hitters: per-chip top-k candidates by
+         local multiplicity (sort + run lengths + top_k), all_gather the
+         candidate keys, psum exact global counts, keep keys whose count
+         exceeds hot_threshold × (rows/chip average share),
+      2. build rows with hot keys are all_gather'ed (≤hot_cap per chip) —
+         every chip holds the full hot build table (duplicate build rows,
+         the classic broadcast side of a skew split),
+      3. probe rows with hot keys stay local and join against the
+         gathered hot table — the hot key's probe work is spread evenly
+         over all chips instead of landing on one,
+      4. everything else takes the normal hash shuffle + local join.
+
+    Aggregates from both paths psum into the same three scalars.
+    """
+    ndev = mesh.devices.size
+
+    def step(r_key, r_val, s_key, s_val, filter_const):
+        live_r = r_val > filter_const
+        live_s = jnp.ones(s_key.shape, dtype=bool)
+
+        # --- 1. heavy-hitter detection on the probe side's key column ----
+        cnt_s, first_s = _local_key_counts(s_key, live_s)
+        cand_score = jnp.where(first_s, cnt_s, 0)
+        _, cand_idx = jax.lax.top_k(cand_score, hot_k)
+        cand_keys = jnp.where(cand_score[cand_idx] > 0, s_key[cand_idx],
+                              _PAD_KEY)
+        all_cand = jax.lax.all_gather(cand_keys, AXIS).reshape(-1)
+        # exact global count per candidate: my contribution via my sorted keys
+        sk_local = jnp.sort(jnp.where(live_s, s_key, _PAD_KEY))
+        lo = jnp.searchsorted(sk_local, all_cand, side="left", method="sort")
+        hi = jnp.searchsorted(sk_local, all_cand, side="right", method="sort")
+        global_cnt = jax.lax.psum((hi - lo).astype(jnp.int32), AXIS)
+        global_cnt = jnp.where(all_cand == _PAD_KEY, 0, global_cnt)
+        # Heavy iff routing all of this key's probe rows to one chip would
+        # add more than 1/hot_threshold of a chip's average row share.
+        share = max(1, s_key.shape[0] // max(1, hot_threshold))
+        is_heavy = global_cnt > jnp.int32(share)
+        score = jnp.where(is_heavy, global_cnt, 0)
+        _, hot_idx = jax.lax.top_k(score, hot_k)
+        hot_keys = jnp.sort(jnp.where(score[hot_idx] > 0, all_cand[hot_idx],
+                                      _PAD_KEY))
+
+        def is_hot(keys, live):
+            pos = jnp.searchsorted(hot_keys, keys, side="left", method="sort")
+            pos = jnp.minimum(pos, hot_k - 1)
+            return (hot_keys[pos] == keys) & (keys != _PAD_KEY) & live
+
+        hot_r = is_hot(r_key, live_r)
+        hot_s = is_hot(s_key, live_s)
+
+        # --- 2. all_gather the hot build rows ----------------------------
+        hp = jnp.argsort(~hot_r, stable=True).astype(jnp.int32)[:hot_cap]
+        sel = hot_r[hp]
+        hk = jnp.where(sel, r_key[hp], _PAD_KEY)
+        hv = jnp.where(sel, r_val[hp], 0)
+        gk = jax.lax.all_gather(hk, AXIS).reshape(-1)
+        gv = jax.lax.all_gather(hv, AXIS).reshape(-1)
+        n_hot_build = jnp.sum((gk != _PAD_KEY).astype(jnp.int32))
+        # compact PAD rows to the suffix for the live-prefix contract
+        order = jnp.argsort(gk == _PAD_KEY, stable=True).astype(jnp.int32)
+        gk, gv = gk[order], gv[order]
+
+        # --- 3. local probe of hot rows ----------------------------------
+        pk_hot = jnp.where(hot_s, s_key, _PAD_KEY)
+        pv_hot = jnp.where(hot_s, s_val, 0)
+        # PAD probe keys find no live build row (build PADs are clamped out)
+        t_h, sb_h, sp_h = local_join_checksum(
+            gk, gv, n_hot_build, pk_hot, pv_hot,
+            jnp.int32(pk_hot.shape[0]),
+        )
+
+        # --- 4. normal shuffle for the cold rows -------------------------
+        cold_r = live_r & ~hot_r
+        cold_s = live_s & ~hot_s
+        sk_r, sp_r, cnt_r, _ = partition_for_exchange(r_key, r_val, cold_r,
+                                                      ndev, cap)
+        sk_s, sp_s, cnt_s2, _ = partition_for_exchange(s_key, s_val, cold_s,
+                                                       ndev, cap)
+        bk, bv, nb = exchange(sk_r, sp_r, cnt_r)
+        pk, pv, npr = exchange(sk_s, sp_s, cnt_s2)
+        t_c, sb_c, sp_c = local_join_checksum(bk, bv, nb, pk, pv, npr)
+
+        return (jax.lax.psum(t_h + t_c, AXIS),
+                jax.lax.psum(sb_h + sb_c, AXIS),
+                jax.lax.psum(sp_h + sp_c, AXIS))
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sharded)
 
 
 def make_dist_checksum(mesh: Mesh):

@@ -1,0 +1,112 @@
+"""Executor-mode coverage: fused final join on/off, batch threading,
+deferred-count NULL semantics, and the protocol driver (reference:
+TestOperators.cpp:197-285 e2e cases + harness.cpp behavior)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from sigmod2018_tpu.config import EngineConfig
+from sigmod2018_tpu.engine.executor import JaxEngine, NullResult, PendingResult
+from sigmod2018_tpu.engine.oracle import execute_query_numpy
+from sigmod2018_tpu.frontend.parser import parse_query
+from sigmod2018_tpu.io.repl import run_protocol
+from sigmod2018_tpu.storage.catalog import Catalog
+from sigmod2018_tpu.storage.relation import (
+    Relation,
+    make_identity_relation,
+    store_relation,
+)
+
+
+@pytest.fixture(scope="module")
+def rand_catalog():
+    rng = np.random.default_rng(7)
+    rels = []
+    for n in (300, 200, 150, 80):
+        cols = [rng.integers(0, 40, size=n).astype(np.uint64) for _ in range(3)]
+        rels.append(Relation(columns=cols))
+    return Catalog(rels)
+
+
+QUERIES = [
+    "0 1|0.0=1.0|0.1 1.2",                            # single join -> fused
+    "0 1|0.0=1.0&0.1>20|0.1 1.2",                     # filter + fused join
+    "0 1 2|0.0=1.0&1.1=2.1|0.2 1.0 2.2",              # chain, last join fused
+    "0 1 2|0.0=1.0&1.1=2.1&0.1=1.2|0.2 2.2",          # cycle edge
+    "0 1|0.0=1.0&0.0>100|0.0 1.1",                    # empty via filter
+    "0 0|0.0=1.1|0.2 1.0",                            # same relation twice
+    "3 3|0.0=1.0&0.1=15|0.1 1.2",                     # dup relation + filter
+    "0 1 2 3|0.0=1.0&1.1=2.1&2.2=3.0|3.1 0.1",        # 4-relation chain
+]
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_fused_matches_oracle(rand_catalog, fuse):
+    eng = JaxEngine(rand_catalog, EngineConfig(fuse_final_join=fuse))
+    for qtext in QUERIES:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, rand_catalog), (qtext, fuse)
+
+
+def test_radix_join_algo_matches_oracle(rand_catalog):
+    eng = JaxEngine(rand_catalog, EngineConfig(join_algo="radix", radix_bits=4))
+    for qtext in QUERIES:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, rand_catalog), qtext
+
+
+def test_fused_path_taken(rand_catalog):
+    eng = JaxEngine(rand_catalog, EngineConfig(fuse_final_join=True))
+    res = eng.execute_async(parse_query("0 1|0.0=1.0|0.1 1.2"))
+    assert isinstance(res, PendingResult)
+
+
+def test_deferred_null_final_count_zero(rand_catalog):
+    # Filter kills everything; the count stays on device until line().
+    eng = JaxEngine(rand_catalog, EngineConfig())
+    res = eng.execute_async(parse_query("0|0.0>9999|0.0 0.1"))
+    assert res.line() == "NULL NULL"
+
+
+def test_views_only_cartesian(rand_catalog):
+    q = parse_query("0 1 2|0.0=1.0|2.0")  # view on a binding with no predicate
+    eng = JaxEngine(rand_catalog, EngineConfig())
+    assert eng.execute(q) == execute_query_numpy(q, rand_catalog)
+
+
+def test_protocol_driver_end_to_end(tmp_path):
+    paths = []
+    for i, n in enumerate((20, 10)):
+        rel = make_identity_relation(n, 3)
+        p = tmp_path / f"r{i}"
+        store_relation(rel, p)
+        paths.append(str(p))
+    stdin = io.StringIO(
+        "\n".join(paths) + "\nDone\n"
+        "0 1|0.0=1.0|0.0 1.1\n"
+        "garbage query line\n"            # must yield NULL, not kill batch
+        "F\n"
+        "0|0.1>4|0.2\n"
+        "F\n"
+        "Exit\n"
+    )
+    stdout = io.StringIO()
+    run_protocol(stdin, stdout, EngineConfig(batch_workers=4))
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "45 45"          # identity join: sum 0..9 twice
+    assert lines[1] == "NULL"
+    assert lines[2] == str(sum(range(5, 20)))
+
+
+def test_batch_threading_order_stable(rand_catalog):
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng = JaxEngine(rand_catalog, EngineConfig())
+    queries = [parse_query(t) for t in QUERIES * 3]
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(eng.execute_async, queries))
+    got = [r.line() for r in results]
+    want = [execute_query_numpy(q, rand_catalog) for q in queries]
+    assert got == want

@@ -116,3 +116,77 @@ def test_pad_key_value_joins_correctly(mesh):
     )
     w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
     assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
+
+
+@pytest.mark.parametrize("alpha", [1.1, 2.0])
+def test_skew_join_matches_oracle(mesh, alpha):
+    """Zipf-distributed probe keys: the heavy-hitter split must stay
+    bit-exact (BASELINE.json skewed-key stress config)."""
+    from sigmod2018_tpu.parallel import make_dist_join_checksum_skew
+
+    rng = np.random.default_rng(11)
+    nr, ns = 512, 2048
+    r_key = rng.integers(0, 200, size=nr, dtype=np.uint64)
+    r_val = rng.integers(0, 1 << 40, size=nr, dtype=np.uint64)
+    s_key = np.minimum(rng.zipf(alpha, size=ns), 200).astype(np.uint64)
+    s_val = rng.integers(0, 1 << 40, size=ns, dtype=np.uint64)
+    const = np.uint64(1 << 38)
+
+    f = make_dist_join_checksum_skew(mesh, cap=nr + ns, hot_k=16,
+                                     hot_cap=nr, hot_threshold=4)
+    total, sum_b, sum_p = f(
+        _put(mesh, r_key), _put(mesh, r_val),
+        _put(mesh, s_key), _put(mesh, s_val),
+        jnp.uint64(const),
+    )
+    w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
+    assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
+
+
+def test_skew_join_uniform_keys_no_false_positives(mesh):
+    """Uniform keys: detector may fire or not, result must be identical."""
+    from sigmod2018_tpu.parallel import make_dist_join_checksum_skew
+
+    rng = np.random.default_rng(12)
+    nr = ns = 1024
+    r_key = rng.integers(0, 100000, size=nr, dtype=np.uint64)
+    r_val = rng.integers(0, 1 << 40, size=nr, dtype=np.uint64)
+    s_key = rng.integers(0, 100000, size=ns, dtype=np.uint64)
+    s_val = rng.integers(0, 1 << 40, size=ns, dtype=np.uint64)
+    const = np.uint64(0)
+
+    f = make_dist_join_checksum_skew(mesh, cap=nr + ns, hot_cap=nr)
+    total, sum_b, sum_p = f(
+        _put(mesh, r_key), _put(mesh, r_val),
+        _put(mesh, s_key), _put(mesh, s_val),
+        jnp.uint64(const),
+    )
+    w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
+    assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
+
+
+def test_dist_engine_full_queries(mesh):
+    """GSPMD full-query engine on the 8-device mesh == NumPy oracle."""
+    from sigmod2018_tpu.config import EngineConfig
+    from sigmod2018_tpu.engine.oracle import execute_query_numpy
+    from sigmod2018_tpu.frontend.parser import parse_query
+    from sigmod2018_tpu.parallel.dist_engine import DistJaxEngine
+    from sigmod2018_tpu.storage.catalog import Catalog
+    from sigmod2018_tpu.storage.relation import Relation
+
+    rng = np.random.default_rng(21)
+    rels = []
+    for n in (400, 250, 130):
+        cols = [rng.integers(0, 50, size=n).astype(np.uint64) for _ in range(3)]
+        rels.append(Relation(columns=cols))
+    cat = Catalog(rels)
+    eng = DistJaxEngine(cat, EngineConfig(), mesh=mesh)
+    for qtext in [
+        "0 1|0.0=1.0|0.1 1.2",
+        "0 1 2|0.0=1.0&1.1=2.1|0.2 2.0",
+        "0 1|0.0=1.0&0.1>25|0.0 1.1",
+        "0 1 2|0.0=1.0&1.1=2.1&0.1=2.0|0.0",
+        "0|0.0=0.1|0.2",
+    ]:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, cat), qtext

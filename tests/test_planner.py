@@ -1,0 +1,90 @@
+"""Planner tests: selectivity math (stats.c:88-259) and DP join
+enumeration (best_tree.c:105-223)."""
+
+import numpy as np
+
+from sigmod2018_tpu.engine.oracle import execute_query_numpy
+from sigmod2018_tpu.frontend.parser import parse_query
+from sigmod2018_tpu.planner import plan_joins
+from sigmod2018_tpu.planner.stats import QueryStats
+from sigmod2018_tpu.storage.catalog import Catalog
+from sigmod2018_tpu.storage.relation import Relation
+
+
+def _catalog(rng, sizes, keyspace=100):
+    rels = []
+    for n in sizes:
+        cols = [rng.integers(0, keyspace, size=n).astype(np.uint64)
+                for _ in range(3)]
+        rels.append(Relation(columns=cols))
+    return Catalog(rels)
+
+
+def test_equality_filter_stats():
+    rng = np.random.default_rng(0)
+    cat = _catalog(rng, [1000])
+    q = parse_query("0|0.0=5|0.0")
+    st = QueryStats(q, cat)
+    st.apply(q.predicates[0])
+    s = st.get(0, 0)
+    assert s.d == 1 and s.l == 5 and s.u == 5
+    assert s.f <= 1000
+
+
+def test_range_filter_scales_linearly():
+    rng = np.random.default_rng(1)
+    cat = _catalog(rng, [1000], keyspace=100)
+    q = parse_query("0|0.0<50|0.0")
+    st = QueryStats(q, cat)
+    f_before = st.get(0, 0).f
+    st.apply(q.predicates[0])
+    s = st.get(0, 0)
+    assert 0 < s.f < f_before
+    assert s.u <= 50
+
+
+def test_join_order_small_build_first():
+    """A tiny filtered relation should be joined before a huge one."""
+    rng = np.random.default_rng(2)
+    # r0 joins r1 (huge fanout) and r2 (tiny); starting with r2 is cheaper.
+    r0 = Relation(columns=[np.arange(1000, dtype=np.uint64)] * 3)
+    r1 = Relation(columns=[np.zeros(5000, dtype=np.uint64)] * 3)  # hot key 0
+    r2 = Relation(columns=[np.arange(10, dtype=np.uint64)] * 3)
+    cat = Catalog([r0, r1, r2])
+    q = parse_query("0 1 2|0.0=1.0&0.1=2.0|0.0")
+    order = plan_joins(q, cat)
+    assert [str(p) for p in order] == ["0.1=2.0", "0.0=1.0"]
+
+
+def test_cycle_edge_reinserted():
+    rng = np.random.default_rng(3)
+    cat = _catalog(rng, [200, 200, 200])
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1&0.1=2.0|0.0")
+    order = plan_joins(q, cat)
+    # All three predicates must survive planning (the cycle-closing edge
+    # becomes a value-equality selection).
+    assert len(order) == 3
+    assert {str(p) for p in order} == {"0.0=1.0", "1.1=2.1", "0.1=2.0"}
+
+
+def test_planned_order_preserves_results():
+    rng = np.random.default_rng(4)
+    cat = _catalog(rng, [300, 250, 120, 90], keyspace=40)
+    for qtext in [
+        "0 1 2|0.0=1.0&1.1=2.1|0.2 2.0",
+        "0 1 2 3|0.0=1.0&1.1=2.1&2.2=3.0|3.1",
+        "0 1 2|0.0=1.0&1.1=2.1&0.1=2.0|0.0 1.0 2.0",
+    ]:
+        q = parse_query(qtext)
+        order = plan_joins(q, cat)
+        with_plan = execute_query_numpy(q, cat, join_order=order)
+        without = execute_query_numpy(q, cat)
+        assert with_plan == without, qtext
+
+
+def test_duplicate_pair_predicates_kept():
+    rng = np.random.default_rng(5)
+    cat = _catalog(rng, [100, 100])
+    q = parse_query("0 1|0.0=1.0&0.1=1.1|0.0")
+    order = plan_joins(q, cat)
+    assert len(order) == 2

@@ -1,0 +1,110 @@
+"""Synthetic workload generator (BASELINE.json stress configs).
+
+Generates a directory shaped exactly like workloads/small: NAME.init
+(relation files), NAME.work (query batches), NAME.result (expected lines
+from the NumPy oracle).  Profiles:
+
+  uniform — independent uniform keys (the contest's shape)
+  zipf    — Zipf-distributed join keys (heavy-hitter stress)
+  scaled  — uniform at SCALE x the small workload's row counts
+
+Usage: python tools/gen_workload.py OUT_DIR [--profile uniform|zipf|scaled]
+       [--relations N] [--rows N] [--queries N] [--seed N] [--scale N]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from sigmod2018_tpu.engine.oracle import execute_query_numpy
+from sigmod2018_tpu.frontend.parser import parse_query
+from sigmod2018_tpu.storage.catalog import Catalog
+from sigmod2018_tpu.storage.relation import Relation, store_relation
+
+
+def gen_relation(rng, rows: int, cols: int, profile: str, keyspace: int) -> Relation:
+    data = []
+    for _ in range(cols):
+        if profile == "zipf":
+            col = np.minimum(rng.zipf(1.3, size=rows), keyspace).astype(np.uint64)
+        else:
+            col = rng.integers(0, keyspace, size=rows, dtype=np.uint64)
+        data.append(col)
+    return Relation(columns=data)
+
+
+def gen_query(rng, num_relations: int) -> str:
+    nrel = int(rng.integers(2, 5))
+    bindings = rng.integers(0, num_relations, size=nrel)
+    preds = []
+    for b in range(1, nrel):
+        preds.append(f"{b-1}.{rng.integers(0,3)}={b}.{rng.integers(0,3)}")
+    if rng.random() < 0.8:
+        op = rng.choice(["<", ">", "="])
+        preds.append(f"{rng.integers(0,nrel)}.{rng.integers(0,3)}{op}{rng.integers(1, 1000)}")
+    views = " ".join(
+        f"{rng.integers(0, nrel)}.{rng.integers(0, 3)}"
+        for _ in range(int(rng.integers(1, 4)))
+    )
+    return f"{' '.join(map(str, bindings))}|{'&'.join(preds)}|{views}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--profile", default="uniform",
+                    choices=["uniform", "zipf", "scaled"])
+    ap.add_argument("--relations", type=int, default=6)
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--queries", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--keyspace", type=int, default=1000)
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    name = out.name
+    rng = np.random.default_rng(args.seed)
+    rows = args.rows * (args.scale if args.profile == "scaled" else 1)
+
+    rels, init_lines = [], []
+    for i in range(args.relations):
+        rel = gen_relation(rng, rows, 3, args.profile, args.keyspace)
+        store_relation(rel, out / f"r{i}")
+        rels.append(rel)
+        init_lines.append(f"r{i}")
+    (out / f"{name}.init").write_text("\n".join(init_lines) + "\n")
+
+    from sigmod2018_tpu.engine.oracle import OracleOverflow
+
+    catalog = Catalog(rels)
+    cap = max(2_000_000, rows * 50)
+    work, results = [], []
+    for qi in range(args.queries):
+        while True:  # regenerate queries whose results explode
+            qtext = gen_query(rng, args.relations)
+            try:
+                res = execute_query_numpy(parse_query(qtext), catalog,
+                                          max_rows=cap)
+                break
+            except OracleOverflow:
+                continue
+        work.append(qtext)
+        results.append(res)
+        if (qi + 1) % args.batch == 0:
+            work.append("F")
+    if work and work[-1] != "F":
+        work.append("F")
+    (out / f"{name}.work").write_text("\n".join(work) + "\n")
+    (out / f"{name}.result").write_text("\n".join(results) + "\n")
+    print(f"{name}: {args.relations} relations x {rows} rows, "
+          f"{args.queries} queries -> {out}")
+
+
+if __name__ == "__main__":
+    main()
