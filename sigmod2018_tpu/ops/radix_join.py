@@ -80,80 +80,80 @@ def _bucketize(keys: jax.Array, n_valid: jax.Array, bits: int, slots: int):
 
 
 def _probe_kernel(nb_ref, np_ref, bh_ref, bl_ref, ph_ref, pl_ref,
-                  cnt_ref, mc_ref, pc_ref, *, tile: int):
-    """One radix bucket: per-row match counts via tiled all-pairs compare.
+                  mc_ref, *, tile: int):
+    """Per-BUILD-row match counts for every radix bucket.
 
-    mc[j] = #probe rows matching build row j; pc[i] = #build rows matching
-    probe row i; cnt = Σ pc.  Shapes: build [1, Sb], probe [1, Sp]."""
+    mc[b, j] = #probe rows of bucket b matching build row j.  The caller
+    runs the kernel twice with the sides swapped to get per-probe-row
+    counts (only sublane-axis reductions appear — the Mosaic lane-axis
+    reduce crashes this toolchain).
+
+    GRIDLESS by necessity: any pallas_call with a grid crashes this
+    environment's remote-compile service, so the bucket loop lives inside
+    the kernel (fori over the [B, S] bucket matrices held wholly in
+    VMEM — `radix_join_checksum` caps B*S accordingly)."""
     Sb = bh_ref.shape[1]
     Sp = ph_ref.shape[1]
-    nb = nb_ref[0, 0]
-    npr = np_ref[0, 0]
+    n_tiles = Sp // tile
 
-    bh = bh_ref[0, :]
-    bl = bl_ref[0, :]
-    live_b = jax.lax.broadcasted_iota(jnp.int32, (1, Sb), 1)[0] < nb
+    def bucket_body(b, _):
+        nb = nb_ref[b, 0]
+        npr = np_ref[b, 0]
+        bh = bh_ref[b, :]
+        bl = bl_ref[b, :]
+        live_b = jax.lax.broadcasted_iota(jnp.int32, (1, Sb), 1)[0] < nb
 
-    mc_acc = jnp.zeros((Sb,), jnp.uint32)
-    pc_out = jnp.zeros((Sp,), jnp.uint32)
+        def probe_tile(t, mc_acc):
+            # x64 traces Python ints as i64; Mosaic has no 64-bit, so all
+            # in-kernel scalars are pinned to i32.
+            off = t * jnp.int32(tile)
+            ph = ph_ref[b, pl.ds(off, tile)]
+            plo = pl_ref[b, pl.ds(off, tile)]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+            live_p = (idx + off) < npr
+            # [tile, Sb] all-pairs equality
+            eq = (
+                (ph[:, None] == bh[None, :])
+                & (plo[:, None] == bl[None, :])
+                & live_p[:, None]
+                & live_b[None, :]
+            )
+            # Integer jnp.sum upcasts through i64 under x64; f32 sums are
+            # exact here: per-column count <= Sp <= 2^15 < 2^24.
+            eqf = jnp.where(eq, jnp.float32(1), jnp.float32(0))
+            return mc_acc + jnp.sum(eqf, axis=0)
 
-    def probe_tile(t, carry):
-        mc_acc, pc_out = carry
-        ph = ph_ref[0, pl.ds(t * tile, tile)]
-        plo = pl_ref[0, pl.ds(t * tile, tile)]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
-        live_p = (idx + t * tile) < npr
-        # [tile, Sb] all-pairs equality
-        eq = (
-            (ph[:, None] == bh[None, :])
-            & (plo[:, None] == bl[None, :])
-            & live_p[:, None]
-            & live_b[None, :]
+        mc_acc = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n_tiles), probe_tile,
+            jnp.zeros((Sb,), jnp.float32),
         )
-        equ = eq.astype(jnp.uint32)
-        mc_acc = mc_acc + jnp.sum(equ, axis=0, dtype=jnp.uint32)
-        pc_t = jnp.sum(equ, axis=1, dtype=jnp.uint32)
-        pc_out = jax.lax.dynamic_update_slice(pc_out, pc_t, (t * tile,))
-        return mc_acc, pc_out
+        mc_ref[b, :] = mc_acc.astype(jnp.int32)
+        return _
 
-    mc_acc, pc_out = jax.lax.fori_loop(
-        0, Sp // tile, probe_tile, (mc_acc, pc_out)
-    )
-    mc_ref[0, :] = mc_acc
-    pc_ref[0, :] = pc_out
-    cnt_ref[0, :] = jnp.zeros((8,), jnp.uint32).at[0].set(
-        jnp.sum(pc_out, dtype=jnp.uint32)
-    )
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(bh_ref.shape[0]),
+                      bucket_body, jnp.int32(0))
 
 
 def _match_counts(bh, bl, nb, ph, plo, npr, *, interpret: bool):
-    """pallas_call wrapper: per-bucket mc/pc/cnt.  Inputs [B, S*] u32."""
+    """pallas_call wrapper: per-bucket per-build-row match counts.
+    Inputs [B, S*] u32.  Returns mc [B, Sb] i32."""
     B, Sb = bh.shape
     Sp = ph.shape[1]
-    tile = min(Sp, 512)
-    grid = (B,)
-    row = lambda b: (b, 0)
+    tile = max(8, min(512, (1 << 20) // Sb))  # bound eq tile to ~4MB f32
+    while Sp % tile:
+        tile //= 2
     return pl.pallas_call(
         partial(_probe_kernel, tile=tile),
-        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), row, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), row, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 8), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sb), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp), row, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 8), jnp.uint32),
-            jax.ShapeDtypeStruct((B, Sb), jnp.uint32),
-            jax.ShapeDtypeStruct((B, Sp), jnp.uint32),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sb), jnp.int32),
         interpret=interpret,
     )(nb[:, None], npr[:, None], bh, bl, ph, plo)
 
@@ -170,9 +170,11 @@ def _radix_join_jit(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     pk, pperm, pcnt = _bucketize(keys_p, n_p, bits, slots_p)
     bh, bl = _split_u64(bk)
     ph, plo = _split_u64(pk)
-    cnt8, mc, pc = _match_counts(bh, bl, bcnt, ph, plo, pcnt,
-                                 interpret=interpret)
-    count = jnp.sum(cnt8[:, 0].astype(jnp.uint64))
+    # Two passes with the sides swapped: each pass emits the counts for
+    # the side held stationary on the lane axis (see _probe_kernel).
+    mc = _match_counts(bh, bl, bcnt, ph, plo, pcnt, interpret=interpret)
+    pc = _match_counts(ph, plo, pcnt, bh, bl, bcnt, interpret=interpret)
+    count = jnp.sum(mc.astype(jnp.uint64))
     # Weighted per-row sums: gather each bucketed row's value via the
     # stored permutation, weight by its match count.  (The limb trick is
     # only needed *inside* the kernel; out here XLA has u64.)
@@ -214,10 +216,14 @@ def radix_join_checksum(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     sp = int(_slot_hint_jit(keys_p, jnp.int32(n_p), bits))
     slots_b = size_class(max(sb, 1), 128)
     slots_p = size_class(max(sp, 1), 512)
-    if slots_b > MAX_BUCKET or slots_p > MAX_BUCKET:
+    B = 1 << bits
+    # VMEM bound: the gridless kernel holds the whole [B, S] bucket
+    # matrices on chip (~24 B/slot across both passes).
+    if (slots_b > MAX_BUCKET or slots_p > MAX_BUCKET
+            or B * max(slots_b, slots_p) > (1 << 19)):
         raise ValueError(
-            f"bucket overflow (build {sb}, probe {sp} rows): raise `bits` "
-            f"or use the sort join"
+            f"bucket overflow (build {sb}, probe {sp} rows, B={B}): raise "
+            f"`bits` or use the sort join"
         )
     return _radix_join_jit(keys_b, vals_b, jnp.int32(n_b),
                            keys_p, vals_p, jnp.int32(n_p),
