@@ -49,7 +49,12 @@ def main() -> None:
 
     config = EngineConfig.from_env()
     catalog = Catalog.from_files(init)
-    engine = JaxEngine(catalog, config)
+    if config.compile_queries:
+        from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+        engine = CompiledEngine(catalog, config)
+    else:
+        engine = JaxEngine(catalog, config)
     engine.prefetch()
     pool = ThreadPoolExecutor(max(config.batch_workers, 1))
 

@@ -33,6 +33,17 @@ class EngineConfig:
     # (ops/agg_join.py): the final intermediate is never materialized.
     fuse_final_join: bool = True
 
+    # Whole-query segment compilation (engine/compiled.py): one XLA
+    # program per intermediate-join sync point instead of one per
+    # operator.  Single-join queries become one program, zero syncs.
+    compile_queries: bool = True
+
+    # Intermediate-result row cap: if a planned join order produces a
+    # bigger intermediate, the query retries in original text order
+    # (estimator misfires on adversarial skew; the text order is what
+    # the workload author validated).  0 disables the net.
+    max_intermediate: int = 1 << 26
+
     # Threads dispatching queries of one batch concurrently.  Device work
     # is serialized by XLA; the threads exist to overlap the per-query
     # host syncs (each costs a full RTT on a tunneled TPU).
@@ -57,6 +68,7 @@ class EngineConfig:
             radix_bits=int(_flag("S18_RADIX_BITS", "4")),
             optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
             fuse_final_join=_flag("S18_FUSE", "1") != "0",
+            compile_queries=_flag("S18_COMPILE_QUERIES", "1") != "0",
             batch_workers=int(_flag("S18_WORKERS", "8")),
             explain=_flag("S18_EXPLAIN", "0") == "1",
             trace=_flag("S18_TRACE", "0") == "1",

@@ -1,0 +1,313 @@
+"""Whole-query segment compilation: one XLA program per sync point.
+
+The operator-granular executor (executor.py) dispatches ~6-20 device
+programs per query; on a tunneled TPU the Python/dispatch overhead and
+the per-program boundaries dominate the tiny workload.  This engine
+compiles each query into at most
+
+    1 + (#intermediate joins)
+
+programs: execution re-runs from the base columns inside ONE jitted
+function per segment, where a segment ends at the only data-dependent
+decision the host must make — the size class of an intermediate join's
+output (SURVEY §7.3 "dynamic shapes everywhere").  Everything else
+(filters, self-joins, gathers, the final fused join + checksums) fuses
+into the same program, letting XLA fuse masks and gathers into the join.
+
+Re-running earlier joins in each segment costs O(J^2) device compute for
+a J-join query; J <= 4 on contest queries and device compute is orders
+of magnitude cheaper than a program boundary here.
+
+Static keys: `Query`, `JoinPred`, `FilterPred` are frozen dataclasses —
+hashable — so (query, join_order, classes_so_far) is the jit cache key.
+Queries whose shape cannot be decided statically (disconnected view
+bindings needing a cartesian product) fall back to the step-wise engine.
+
+Single-join queries (the common case) execute as ONE program with ZERO
+host syncs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend.parser import FilterPred, JoinPred, Query
+from ..utils.padding import size_class
+from .executor import (
+    IntermediateBlowup,
+    JaxEngine,
+    NullResult,
+    PendingResult,
+    Result,
+    _MASK64,
+)
+from .. import ops
+
+
+class CompiledEngine(JaxEngine):
+    """JaxEngine with per-query segment compilation (S18_COMPILE_QUERIES)."""
+
+    def execute_async(self, query: Query) -> Result:
+        try:
+            return self._execute_compiled(query, use_planner=True,
+                                          guard=True)
+        except _Fallback:
+            return super().execute_async(query)
+        except IntermediateBlowup:
+            # Planner misfire on skew: retry in original text order
+            # (see executor.py).
+            try:
+                return self._execute_compiled(query, use_planner=False,
+                                              guard=False)
+            except _Fallback:
+                return super().execute_async(query)
+
+    def _execute_compiled(self, query: Query, use_planner: bool,
+                          guard: bool) -> Result:
+        plan = self._static_plan(query, use_planner)
+        joins, cols_used, n_classes = plan
+        cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
+        ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
+        classes: Tuple[int, ...] = ()
+        while True:
+            out = _run_segments(
+                query, joins, classes, cols_used, ns,
+                self.config.min_pad, cols,
+            )
+            if len(classes) == n_classes:
+                return PendingResult(out, len(query.views))
+            total = int(out)  # the one sync per intermediate join
+            if total == 0:
+                return NullResult(len(query.views))
+            if guard and 0 < self.config.max_intermediate < total:
+                raise IntermediateBlowup(total)
+            classes = classes + (size_class(total, self.config.min_pad),)
+
+    def _static_plan(self, query: Query, use_planner: bool = True):
+        """Host-side static analysis: join order, referenced columns, and
+        the number of intermediate size classes the host must supply."""
+        joins = query.joins
+        if use_planner and self._planner is not None and len(joins) > 1:
+            joins = self._planner(query, self.catalog)
+        joins = tuple(joins)
+
+        # Static component tracking to find: (a) cartesian fallbacks,
+        # (b) which joins are same-component selections, (c) fusability.
+        comps: List[set] = []
+
+        def find(b):
+            for c in comps:
+                if b in c:
+                    return c
+            return None
+
+        for p in query.filters_and_selfjoins:
+            b = p.binding if isinstance(p, FilterPred) else p.binding1
+            if find(b) is None:
+                comps.append({b})
+        n_classes = 0
+        for idx, jp in enumerate(joins):
+            cl, cr = find(jp.binding1), find(jp.binding2)
+            if cl is not None and cl is cr:
+                continue
+            last = idx == len(joins) - 1
+            merged = {jp.binding1, jp.binding2}
+            if cl is not None:
+                merged |= cl
+            if cr is not None:
+                merged |= cr
+            if last and self.config.fuse_final_join:
+                others = [c for c in comps if c is not cl and c is not cr]
+                if not others and {b for b, _ in query.views} <= merged:
+                    break  # fused: no class needed
+            n_classes += 1
+            comps = [c for c in comps if c is not cl and c is not cr]
+            comps.append(merged)
+        else:
+            # No fused final join: the result must be a single component
+            # covering every view binding, else cartesian -> fallback.
+            view_b = {b for b, _ in query.views}
+            if len(comps) != 1 or not view_b <= comps[0]:
+                raise _Fallback
+            if not joins and not query.filters_and_selfjoins:
+                raise _Fallback
+
+        cols_used = sorted(self._columns_referenced(query, joins))
+        return joins, tuple(cols_used), n_classes
+
+    def _columns_referenced(self, query: Query, joins) -> set:
+        used = set()
+        for p in query.filters_and_selfjoins:
+            if isinstance(p, FilterPred):
+                used.add((query.relations[p.binding], p.column))
+            else:
+                used.add((query.relations[p.binding1], p.column1))
+                used.add((query.relations[p.binding1], p.column2))
+        for jp in joins:
+            used.add((query.relations[jp.binding1], jp.column1))
+            used.add((query.relations[jp.binding2], jp.column2))
+        for b, c in query.views:
+            used.add((query.relations[b], c))
+        return used
+
+
+class _Fallback(Exception):
+    pass
+
+
+@partial(jax.jit,
+         static_argnames=("query", "joins", "classes", "cols_used", "ns",
+                          "min_pad"))
+def _run_segments(query: Query, joins, classes, cols_used, ns,
+                  min_pad: int, cols):
+    """Pure-functional replay of the executor up to the next unknown size
+    class.  Returns the next intermediate join's total (i64 scalar) when
+    `classes` is not yet complete, else the packed [1+V] u64 result."""
+    colmap = {rc: (cols[i], ns[i]) for i, rc in enumerate(cols_used)}
+
+    def col_of(b, c):
+        return colmap[(query.relations[b], c)]
+
+    # components: list of (bindings tuple, [A, P] rowid matrix, n traced)
+    components: List[Tuple[Tuple[int, ...], jax.Array, jax.Array]] = []
+
+    def find(b):
+        for comp in components:
+            if b in comp[0]:
+                return comp
+        return None
+
+    def replace(old, new):
+        components[:] = [new if c is old else c for c in components]
+
+    def row(comp, b):
+        return comp[1][comp[0].index(b)]
+
+    def compact(comp, mask):
+        pos, cnt = ops.mask_positions(mask, out_size=comp[1].shape[1])
+        replace(comp, (comp[0], jnp.take(comp[1], pos, axis=1), cnt))
+
+    # ---- filters & self-joins ----------------------------------------
+    for pred in query.filters_and_selfjoins:
+        if isinstance(pred, FilterPred):
+            coldev, n_base = col_of(pred.binding, pred.column)
+            const = jnp.uint64(pred.value & _MASK64)
+            comp = find(pred.binding)
+            if comp is None:
+                mask = ops.compare_mask(coldev, jnp.int32(n_base), pred.op, const)
+                pos, cnt = ops.mask_positions(mask, out_size=coldev.shape[0])
+                components.append(((pred.binding,), pos[None, :], cnt))
+            else:
+                vals = coldev[row(comp, pred.binding)]
+                mask = ops.compare_mask(vals, comp[2], pred.op, const)
+                compact(comp, mask)
+        else:
+            c1dev, n_base = col_of(pred.binding1, pred.column1)
+            c2dev, _ = col_of(pred.binding1, pred.column2)
+            comp = find(pred.binding1)
+            if comp is None:
+                mask = ops.equal_mask(c1dev, c2dev, jnp.int32(n_base))
+                pos, cnt = ops.mask_positions(mask, out_size=c1dev.shape[0])
+                components.append(((pred.binding1,), pos[None, :], cnt))
+            else:
+                rids = row(comp, pred.binding1)
+                mask = ops.equal_mask(c1dev[rids], c2dev[rids], comp[2])
+                compact(comp, mask)
+
+    # ---- joins --------------------------------------------------------
+    def join_keys(comp, b, c):
+        coldev, n_base = col_of(b, c)
+        if comp is None:
+            return coldev, jnp.int32(n_base)
+        return coldev[row(comp, b)], comp[2]
+
+    class_idx = 0
+    view_b = {b for b, _ in query.views}
+    for idx, jp in enumerate(joins):
+        comp_l = find(jp.binding1)
+        comp_r = find(jp.binding2)
+        if comp_l is not None and comp_l is comp_r:
+            c1dev, _ = col_of(jp.binding1, jp.column1)
+            c2dev, _ = col_of(jp.binding2, jp.column2)
+            v1 = c1dev[row(comp_l, jp.binding1)]
+            v2 = c2dev[row(comp_l, jp.binding2)]
+            compact(comp_l, ops.equal_mask(v1, v2, comp_l[2]))
+            continue
+
+        keys_l, n_l = join_keys(comp_l, jp.binding1, jp.column1)
+        keys_r, n_r = join_keys(comp_r, jp.binding2, jp.column2)
+        build_left = keys_l.shape[0] <= keys_r.shape[0]
+        keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
+        keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
+
+        last = idx == len(joins) - 1
+        merged = {jp.binding1, jp.binding2}
+        if comp_l is not None:
+            merged |= set(comp_l[0])
+        if comp_r is not None:
+            merged |= set(comp_r[0])
+        others = [c for c in components if c is not comp_l and c is not comp_r]
+        if last and not others and view_b <= merged:
+            # fused final join + checksums
+            def side_of(b):
+                if comp_l is not None and b in comp_l[0]:
+                    return True
+                if comp_r is not None and b in comp_r[0]:
+                    return False
+                return b == jp.binding1
+
+            zb = jnp.zeros_like(keys_b)
+            zp = jnp.zeros_like(keys_p)
+            brows, prows = [], []
+            for b, c in query.views:
+                coldev, _ = col_of(b, c)
+                comp = comp_l if side_of(b) else comp_r
+                vals = coldev if comp is None else coldev[row(comp, b)]
+                if side_of(b) == build_left:
+                    brows.append(vals)
+                    prows.append(zp)
+                else:
+                    brows.append(zb)
+                    prows.append(vals)
+            count, sums_b, sums_p = ops.join_checksum_fused(
+                keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
+            )
+            return jnp.concatenate(
+                [count.reshape(1), sums_b + sums_p]
+            )
+
+        sorted_keys, perm = ops.join_build(keys_b, n_b)
+        lo, cnt, ccum, total = ops.join_probe_count(sorted_keys, n_b,
+                                                    keys_p, n_p)
+        if class_idx >= len(classes):
+            return total  # segment boundary: host picks the class
+
+        P = classes[class_idx]
+        class_idx += 1
+        bpos, ppos = ops.join_emit(perm, lo, ccum, total, out_size=P)
+        pos_l, pos_r = (bpos, ppos) if build_left else (ppos, bpos)
+        rows_, bindings_ = [], []
+        for comp, binding, pos in ((comp_l, jp.binding1, pos_l),
+                                   (comp_r, jp.binding2, pos_r)):
+            if comp is not None:
+                rows_.append(jnp.take(comp[1], pos, axis=1))
+                bindings_.extend(comp[0])
+                components[:] = [c for c in components if c is not comp]
+            else:
+                rows_.append(pos[None, :])
+                bindings_.append(binding)
+        total32 = jnp.minimum(total, P).astype(jnp.int32)
+        components.append((tuple(bindings_), jnp.concatenate(rows_, axis=0),
+                           total32))
+
+    # ---- checksums (no fused final join happened) ---------------------
+    comp = components[0]
+    parts = [comp[2].astype(jnp.uint64).reshape(1)]
+    for b, c in query.views:
+        coldev, _ = col_of(b, c)
+        parts.append(ops.checksum(coldev, row(comp, b), comp[2]).reshape(1))
+    return jnp.concatenate(parts)

@@ -35,7 +35,7 @@ final count == 0  ⇔  some operator went empty  ⇔  NULL line
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,10 @@ class PendingResult:
         if int(arr[0]) == 0:
             return " ".join("NULL" for _ in range(self.num_views))
         return " ".join(str(int(v) & _MASK64) for v in arr[1:])
+
+
+class IntermediateBlowup(RuntimeError):
+    """A planned join order produced an intermediate beyond the cap."""
 
 
 class NullResult:
@@ -182,18 +186,27 @@ class JaxEngine:
         return self.execute_async(query).line()
 
     def execute_async(self, query: Query) -> Result:
+        try:
+            return self._dispatch(query, use_planner=True, guard=True)
+        except IntermediateBlowup:
+            # The planner's order exploded past max_intermediate (hot-key
+            # skew the estimator missed); the original text order is the
+            # safety net.  If that explodes too, run it anyway — matching
+            # the reference, which has no cap at all.
+            return self._dispatch(query, use_planner=False, guard=False)
+
+    def _dispatch(self, query: Query, use_planner: bool,
+                  guard: bool) -> Result:
         if self._tracer is not None:
             self._tracer.reset()
             try:
-                return self._execute_traced(query)
+                return self._execute(query, use_planner, guard)
             finally:
                 self._tracer.report(query.text)
-        return self._execute(query)
+        return self._execute(query, use_planner, guard)
 
-    def _execute_traced(self, query: Query) -> Result:
-        return self._execute(query)
-
-    def _execute(self, query: Query) -> Result:
+    def _execute(self, query: Query, use_planner: bool = True,
+                 guard: bool = True) -> Result:
         components: List[Component] = []
 
         def find(binding: int) -> Optional[Component]:
@@ -214,13 +227,18 @@ class JaxEngine:
 
         # ---- phase 2: joins ----------------------------------------------
         joins = query.joins
-        if self._planner is not None and len(joins) > 1:
+        if use_planner and self._planner is not None and len(joins) > 1:
             joins = self._planner(query, self.catalog)
-            if self.config.explain:
-                import sys
+        if self.config.explain and joins:
+            import sys
 
-                order = " -> ".join(str(j) for j in joins)
-                print(f"-- plan: {order}", file=sys.stderr)
+            from ..planner.join_order import estimate_cardinalities
+
+            ests = estimate_cardinalities(query, self.catalog, joins)
+            order = " -> ".join(
+                f"{j} (est {e})" for j, e in zip(joins, ests)
+            )
+            print(f"-- plan: {order}", file=sys.stderr)
 
         view_bindings = {b for b, _ in query.views}
         for idx, jp in enumerate(joins):
@@ -250,7 +268,8 @@ class JaxEngine:
                         query, col_of, comp_l, comp_r, jp
                     )
 
-            comp = self._exec_join(components, comp_l, comp_r, col_of, jp)
+            comp = self._exec_join(components, comp_l, comp_r, col_of, jp,
+                                   guard=guard)
             if comp.count == 0:  # host int: the sized emit observed zero
                 return NullResult(len(query.views))
 
@@ -341,7 +360,7 @@ class JaxEngine:
         return self._ops.gather_u64(coldev, comp.row(binding)), comp.count
 
     def _exec_join(self, components, comp_l, comp_r, col_of,
-                   jp: JoinPred) -> Component:
+                   jp: JoinPred, guard: bool = True) -> Component:
         keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
         keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
 
@@ -356,6 +375,12 @@ class JaxEngine:
             sorted_keys, _n32(n_b), keys_p, _n32(n_p)
         )
         total = int(total_dev)  # the one required sync: sizes the emit
+        if guard and 0 < self.config.max_intermediate < total:
+            raise IntermediateBlowup(total)
+        if self.config.explain:
+            import sys
+
+            print(f"--   {jp}: actual {total}", file=sys.stderr)
         if total == 0:
             return Component((jp.binding1, jp.binding2),
                              jnp.zeros((2, self.config.min_pad), jnp.int32), 0)

@@ -51,7 +51,8 @@ def _apply_filter_mask(components: List[Component], comp: Optional[Component],
     return comp[binding].size
 
 
-def _join_pairs(keys_l: np.ndarray, keys_r: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def _join_pairs(keys_l: np.ndarray, keys_r: np.ndarray,
+                max_rows: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """All (i, j) with keys_l[i] == keys_r[j], vectorized sort+searchsorted."""
     order = np.argsort(keys_r, kind="stable")
     sorted_r = keys_r[order]
@@ -59,6 +60,10 @@ def _join_pairs(keys_l: np.ndarray, keys_r: np.ndarray) -> Tuple[np.ndarray, np.
     hi = np.searchsorted(sorted_r, keys_l, side="right")
     cnt = hi - lo
     total = int(cnt.sum())
+    if max_rows is not None and total > max_rows:
+        # checked BEFORE materializing: Zipf keys can explode to billions
+        # of pairs (workload-generator guard)
+        raise OracleOverflow(f"{total} join pairs > cap {max_rows}")
     if total == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     li = np.repeat(np.arange(keys_l.size, dtype=np.int64), cnt)
@@ -135,7 +140,7 @@ def execute_query_numpy(query: Query, catalog: Catalog,
                       if comp_l is not None else col(jp.binding1, jp.column1))
             keys_r = (col(jp.binding2, jp.column2)[comp_r[jp.binding2]]
                       if comp_r is not None else col(jp.binding2, jp.column2))
-            li, rj = _join_pairs(keys_l, keys_r)
+            li, rj = _join_pairs(keys_l, keys_r, max_rows=max_rows)
             new_comp: Component = {}
             if comp_l is not None:
                 for b in comp_l:

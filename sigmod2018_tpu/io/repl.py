@@ -51,6 +51,10 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
             from ..parallel.dist_engine import DistJaxEngine
 
             engine = DistJaxEngine(catalog, config)
+        elif config.compile_queries and not config.trace:
+            from ..engine.compiled import CompiledEngine
+
+            engine = CompiledEngine(catalog, config)
         else:
             from ..engine.executor import JaxEngine
 

@@ -66,96 +66,127 @@ def _bucketize(keys: jax.Array, n_valid: jax.Array, bits: int, slots: int):
     live = jnp.arange(P, dtype=jnp.int32) < n_valid
     bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
     order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
-    sb = bucket[order]
-    hist = jnp.bincount(bucket, length=B + 1).astype(jnp.int32)
+    # Histogram as a broadcast compare + row sums: jnp.bincount lowers to
+    # a scatter-add, which serializes on TPU (~10ms at 64K rows); this is
+    # a dense [B+1, P] reduction the VPU chews through in microseconds.
+    hist = jnp.sum(
+        bucket[None, :] == jnp.arange(B + 1, dtype=jnp.int32)[:, None],
+        axis=1, dtype=jnp.int32,
+    )
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:-1], dtype=jnp.int32)]
     )
-    rank = jnp.arange(P, dtype=jnp.int32) - starts[sb]
-    bk = jnp.full((B, slots), _PAD_KEY, dtype=jnp.uint64)
-    bk = bk.at[sb, rank].set(keys[order], mode="drop")
-    perm = jnp.zeros((B, slots), dtype=jnp.int32)
-    perm = perm.at[sb, rank].set(order, mode="drop")
-    return bk, perm, jnp.minimum(hist[:B], slots)
+    # Slot (b, s) pulls sorted row starts[b] + s — all GATHERS: XLA
+    # scatters serialize on TPU (~10x slower than this formulation).
+    cnt = jnp.minimum(hist[:B], slots)
+    slot = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    src = jnp.minimum(starts[:B, None] + slot, P - 1)
+    valid = slot < cnt[:, None]
+    sorted_keys = keys[order]
+    bk = jnp.where(valid, sorted_keys[src], _PAD_KEY)
+    perm = jnp.where(valid, order[src], 0)
+    return bk, perm, cnt
 
 
-def _probe_kernel(nb_ref, np_ref, bh_ref, bl_ref, ph_ref, pl_ref,
-                  mc_ref, *, tile: int):
-    """Per-BUILD-row match counts for every radix bucket.
+def _probe_kernel(bh_ref, bl_ref, ph_ref, pl_ref, nb_ref, np_ref,
+                  mc_ref, *, lanes: int, ti: int, tj: int):
+    """Per-BUILD-row match counts for every radix bucket, lane-parallel.
 
-    mc[b, j] = #probe rows of bucket b matching build row j.  The caller
-    runs the kernel twice with the sides swapped to get per-probe-row
-    counts (only sublane-axis reductions appear — the Mosaic lane-axis
-    reduce crashes this toolchain).
+    All arrays arrive TRANSPOSED with buckets on the LANE axis:
+    build [Sb, B], probe [Sp, B], counts [1, B], output mc [Sb, B] where
+    mc[j, b] = #probe rows of bucket b matching build row j.  A probe
+    tile [TI, 128] and a build tile [TJ, 128] cover 128 buckets at once;
+    the rank-3 compare [TI, TJ, 128] keeps every vector lane busy (the
+    per-bucket serial variant wasted 127/128 of the VPU).  Lane slices
+    are STATIC (python loop over bucket groups) — dynamic lane indexing
+    crashes this toolchain's Mosaic; only sublane slices are dynamic.
+
+    The caller runs the kernel twice with sides swapped for the probe-row
+    counts (lane-axis reductions also crash the lowering).
 
     GRIDLESS by necessity: any pallas_call with a grid crashes this
-    environment's remote-compile service, so the bucket loop lives inside
-    the kernel (fori over the [B, S] bucket matrices held wholly in
-    VMEM — `radix_join_checksum` caps B*S accordingly)."""
-    Sb = bh_ref.shape[1]
-    Sp = ph_ref.shape[1]
-    n_tiles = Sp // tile
+    environment's remote-compile service — loops live in the kernel and
+    the whole bucket matrices sit in VMEM (`radix_join_checksum` caps
+    B*S accordingly)."""
+    Sb = bh_ref.shape[0]
+    Sp = ph_ref.shape[0]
+    B = bh_ref.shape[1]
 
-    def bucket_body(b, _):
-        nb = nb_ref[b, 0]
-        npr = np_ref[b, 0]
-        bh = bh_ref[b, :]
-        bl = bl_ref[b, :]
-        live_b = jax.lax.broadcasted_iota(jnp.int32, (1, Sb), 1)[0] < nb
+    for g in range(B // lanes):  # static lane groups
+        lo_l, hi_l = g * lanes, (g + 1) * lanes
+        nb = nb_ref[0:1, lo_l:hi_l]       # [1, lanes] i32
+        npr = np_ref[0:1, lo_l:hi_l]
 
-        def probe_tile(t, mc_acc):
-            # x64 traces Python ints as i64; Mosaic has no 64-bit, so all
-            # in-kernel scalars are pinned to i32.
-            off = t * jnp.int32(tile)
-            ph = ph_ref[b, pl.ds(off, tile)]
-            plo = pl_ref[b, pl.ds(off, tile)]
-            idx = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
-            live_p = (idx + off) < npr
-            # [tile, Sb] all-pairs equality
-            eq = (
-                (ph[:, None] == bh[None, :])
-                & (plo[:, None] == bl[None, :])
-                & live_p[:, None]
-                & live_b[None, :]
+        def build_tile(jt, _):
+            joff = jt * jnp.int32(tj)
+            bh = bh_ref[pl.ds(joff, tj), lo_l:hi_l]   # [TJ, lanes]
+            bl = bl_ref[pl.ds(joff, tj), lo_l:hi_l]
+            jdx = jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)
+            live_b = (jdx + joff) < nb                # [TJ, lanes]
+
+            def probe_tile(it, acc):
+                ioff = it * jnp.int32(ti)
+                ph = ph_ref[pl.ds(ioff, ti), lo_l:hi_l]   # [TI, lanes]
+                plo = pl_ref[pl.ds(ioff, ti), lo_l:hi_l]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+                live_p = (idx + ioff) < npr               # [TI, lanes]
+                eq = (
+                    (ph[:, None, :] == bh[None, :, :])
+                    & (plo[:, None, :] == bl[None, :, :])
+                    & live_p[:, None, :]
+                    & live_b[None, :, :]
+                )
+                # f32 sums are exact here (counts <= Sp <= 2^15 < 2^24);
+                # integer sums upcast through i64, which Mosaic lacks.
+                eqf = jnp.where(eq, jnp.float32(1), jnp.float32(0))
+                return acc + jnp.sum(eqf, axis=0)
+
+            acc = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(Sp // ti), probe_tile,
+                jnp.zeros((tj, lanes), jnp.float32),
             )
-            # Integer jnp.sum upcasts through i64 under x64; f32 sums are
-            # exact here: per-column count <= Sp <= 2^15 < 2^24.
-            eqf = jnp.where(eq, jnp.float32(1), jnp.float32(0))
-            return mc_acc + jnp.sum(eqf, axis=0)
+            mc_ref[pl.ds(joff, tj), lo_l:hi_l] = acc.astype(jnp.int32)
+            return _
 
-        mc_acc = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n_tiles), probe_tile,
-            jnp.zeros((Sb,), jnp.float32),
-        )
-        mc_ref[b, :] = mc_acc.astype(jnp.int32)
-        return _
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(bh_ref.shape[0]),
-                      bucket_body, jnp.int32(0))
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Sb // tj), build_tile,
+                          jnp.int32(0))
 
 
 def _match_counts(bh, bl, nb, ph, plo, npr, *, interpret: bool):
     """pallas_call wrapper: per-bucket per-build-row match counts.
-    Inputs [B, S*] u32.  Returns mc [B, Sb] i32."""
+    Inputs [B, S*] u32 bucket matrices.  Returns mc [B, Sb] i32."""
     B, Sb = bh.shape
     Sp = ph.shape[1]
-    tile = max(8, min(512, (1 << 20) // Sb))  # bound eq tile to ~4MB f32
-    while Sp % tile:
-        tile //= 2
-    return pl.pallas_call(
-        partial(_probe_kernel, tile=tile),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+    lanes = 128
+    Bp = max(B, lanes)  # lane-pad the bucket axis (extra buckets are dead)
+
+    def t_pad(x):  # [B, S] -> [S, Bp]
+        xt = x.T
+        if Bp > B:
+            xt = jnp.pad(xt, ((0, 0), (0, Bp - B)))
+        return xt
+
+    def c_pad(n):  # [B] -> [1, Bp]
+        n = n[None, :]
+        if Bp > B:
+            n = jnp.pad(n, ((0, 0), (0, Bp - B)))
+        return n.astype(jnp.int32)
+
+    # Tile sizes: bound the [TI, TJ, 128] compare block to ~2MB f32.
+    ti = max(8, min(64, Sp))
+    while Sp % ti:
+        ti //= 2
+    tj = max(8, min(64, Sb))
+    while Sb % tj:
+        tj //= 2
+    mc_t = pl.pallas_call(
+        partial(_probe_kernel, lanes=lanes, ti=ti, tj=tj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Sb), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Sb, Bp), jnp.int32),
         interpret=interpret,
-    )(nb[:, None], npr[:, None], bh, bl, ph, plo)
+    )(t_pad(bh), t_pad(bl), t_pad(ph), t_pad(plo), c_pad(nb), c_pad(npr))
+    return mc_t[:, :B].T
 
 
 def _weighted_u64_sum(counts: jax.Array, values: jax.Array) -> jax.Array:
@@ -194,10 +225,24 @@ def bucket_slot_hint(keys: jax.Array, n_valid: jax.Array, bits: int):
     P = keys.shape[0]
     live = jnp.arange(P, dtype=jnp.int32) < n_valid
     bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
-    return jnp.max(jnp.bincount(bucket, length=B + 1)[:B])
+    hist = jnp.sum(
+        bucket[None, :] == jnp.arange(B, dtype=jnp.int32)[:, None],
+        axis=1, dtype=jnp.int32,
+    )  # dense compare beats bincount's scatter-add on TPU
+    return jnp.max(hist)
 
 
 _slot_hint_jit = jax.jit(bucket_slot_hint, static_argnames=("bits",))
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _slot_hints2(keys_b, n_b, keys_p, n_p, bits: int):
+    """Both sides' max bucket occupancy in ONE readback (each sync costs
+    a full RTT on a tunneled TPU)."""
+    return jnp.stack([
+        bucket_slot_hint(keys_b, n_b, bits),
+        bucket_slot_hint(keys_p, n_p, bits),
+    ])
 
 
 def radix_join_checksum(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
@@ -212,8 +257,11 @@ def radix_join_checksum(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
 
     if interpret is None:  # Mosaic is TPU-only; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
-    sb = int(_slot_hint_jit(keys_b, jnp.int32(n_b), bits))
-    sp = int(_slot_hint_jit(keys_p, jnp.int32(n_p), bits))
+    import numpy as _np
+
+    hints = _np.asarray(_slot_hints2(keys_b, jnp.int32(n_b),
+                                     keys_p, jnp.int32(n_p), bits))
+    sb, sp = int(hints[0]), int(hints[1])
     slots_b = size_class(max(sb, 1), 128)
     slots_p = size_class(max(sp, 1), 512)
     B = 1 << bits

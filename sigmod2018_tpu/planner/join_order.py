@@ -51,6 +51,16 @@ def plan_joins(query: Query, catalog: Catalog,
     return _reinsert_dropped(order, joins)
 
 
+def estimate_cardinalities(query: Query, catalog: Catalog,
+                           order: List[JoinPred]) -> List[int]:
+    """Planner's estimated output cardinality per join of `order`
+    (for --explain's est-vs-actual reporting)."""
+    st = QueryStats(query, catalog)
+    for pred in query.filters_and_selfjoins:
+        st.apply(pred)
+    return [st.estimate_after(jp) for jp in order]
+
+
 def _enumerate(joins: List[JoinPred], bindings: List[int],
                stats0: QueryStats) -> Optional[List[JoinPred]]:
     # state: frozenset(bindings) -> (cost, order, stats)

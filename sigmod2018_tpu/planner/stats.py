@@ -64,6 +64,7 @@ class QueryStats:
             if st.d != 0:
                 st.d = _survival(st.d, f_ratio, st.f, st.d)
             st.f = f_new
+            st.fmax = max(1, min(st.fmax, f_new))
 
     def apply(self, pred: Predicate) -> None:
         """Update estimates for one predicate (reference: ValuePredicate)."""
@@ -98,6 +99,7 @@ class QueryStats:
                 st.d = int(frac * st.d)
                 st.f = int(frac * st.f)
             st.l, st.u = k1, k2
+        st.fmax = max(1, min(st.fmax, st.f))
         ratio = (st.f / prev_f) if prev_f else 0.0
         self._rest_columns(pred.binding, pred.column, st.f, ratio)
 
@@ -111,6 +113,8 @@ class QueryStats:
         d_new = _survival(st1.d, ratio, prev_f, st1.d) if st1.d else 0
         st1.f = st2.f = f_new
         st1.d = st2.d = d_new
+        st1.fmax = max(1, min(st1.fmax, f_new))
+        st2.fmax = max(1, min(st2.fmax, f_new))
         if st1.l >= st2.l:
             st2.l = st1.l
         else:
@@ -128,9 +132,21 @@ class QueryStats:
         st1.u = st2.u = u
         span = ((u - l) & _MASK64) + 1
         f_new = int((st1.f * st2.f) / span)
+        # 1-bucket MCV correction (not in the reference): when both sides
+        # share the same most-common value and it survives the range
+        # intersection, that single key alone contributes fmax1*fmax2
+        # output rows — the span formula assumes uniformity and misses
+        # Zipf hot keys by orders of magnitude, which made the DP pick
+        # plans with 100M+-row intermediates.
+        hot = 0
+        if st1.mode == st2.mode and l <= st1.mode <= u:
+            hot = st1.fmax * st2.fmax
+        f_new = max(f_new, hot)
         d_new = int((st1.d * st2.d) / span)
         st1.f = st2.f = f_new
         st1.d = st2.d = d_new
+        fmax_new = max(1, min(f_new, st1.fmax * st2.fmax))
+        st1.fmax = st2.fmax = fmax_new
         r1 = (d_new / prev_d1) if prev_d1 else 0.0
         r2 = (d_new / prev_d2) if prev_d2 else 0.0
         self._rest_columns(pred.binding1, pred.column1, f_new, r1)

@@ -23,15 +23,23 @@ from .relation import Relation, load_relation
 @dataclasses.dataclass
 class ColumnStats:
     """l/u = min/max value, f = row count, d = distinct count
-    (reference: structs.h:120-126)."""
+    (reference: structs.h:120-126), plus a 1-bucket MCV sketch the
+    reference lacks: fmax = multiplicity of the most common value, mode =
+    that value.  The sketch exists because the reference's span-based
+    equi-join estimate (stats.c:212-234) under-predicts Zipf hot-key
+    fanout by orders of magnitude, steering the DP into plans with
+    billion-row intermediates."""
 
     l: int
     u: int
     f: int
     d: int
+    fmax: int = 1
+    mode: int = 0
 
     def copy(self) -> "ColumnStats":
-        return ColumnStats(self.l, self.u, self.f, self.d)
+        return ColumnStats(self.l, self.u, self.f, self.d, self.fmax,
+                           self.mode)
 
 
 def compute_column_stats(col: np.ndarray, exact_distinct: bool = True) -> ColumnStats:
@@ -41,11 +49,15 @@ def compute_column_stats(col: np.ndarray, exact_distinct: bool = True) -> Column
     cmin = int(col.min())
     cmax = int(col.max())
     if exact_distinct:
-        d = int(np.unique(col).size)
+        uniq, counts = np.unique(col, return_counts=True)
+        d = int(uniq.size)
+        top = int(np.argmax(counts))
+        fmax, mode = int(counts[top]), int(uniq[top])
     else:
         # cheap estimate: distinct <= min(n, value range)
         d = min(n, cmax - cmin + 1)
-    return ColumnStats(cmin, cmax, n, d)
+        fmax, mode = max(1, n // max(d, 1)), cmin
+    return ColumnStats(cmin, cmax, n, d, fmax, mode)
 
 
 class Catalog:

@@ -93,11 +93,12 @@ def load_relations_native(paths: Sequence[str], threads: int = 0):
         # never munmaps during serving, relation_map.c:90-98).
         buf = (ctypes.c_uint64 * (t * c)).from_address(rel.data)
         arr = np.frombuffer(buf, dtype=np.uint64).reshape(c, t)
-        raw = (ctypes.c_uint64 * (4 * c))()
+        raw = (ctypes.c_uint64 * (6 * c))()
         _LIB.s18_stats(rel.data, t, c, raw, threads)
         stats = [
-            ColumnStats(int(raw[4 * i]), int(raw[4 * i + 1]),
-                        int(raw[4 * i + 2]), int(raw[4 * i + 3]))
+            ColumnStats(int(raw[6 * i]), int(raw[6 * i + 1]),
+                        int(raw[6 * i + 2]), int(raw[6 * i + 3]),
+                        int(raw[6 * i + 4]), int(raw[6 * i + 5]))
             for i in range(c)
         ]
         out.append((Relation([arr[i] for i in range(c)],

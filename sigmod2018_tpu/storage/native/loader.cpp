@@ -67,18 +67,15 @@ void s18_unload(S18Relation* rel) {
   rel->map_base = nullptr;
 }
 
-// Per-column stats: min, max, distinct (exact, sort-unique).
-// cols layout: stats_out[4*c + {0,1,2,3}] = {min, max, count, distinct}.
-// Columns are processed by `threads` workers in parallel.
+// Per-column stats: min, max, distinct (exact, sort-unique), and a
+// 1-bucket MCV sketch (fmax = top multiplicity, mode = its value).
+// Layout: stats_out[6*c + {0..5}] = {min, max, count, distinct, fmax,
+// mode}.  Columns are processed by `threads` workers in parallel.
 void s18_stats(const uint64_t* data, uint64_t num_tuples, uint64_t num_cols,
                uint64_t* stats_out, int threads) {
   if (num_tuples == 0 || num_cols == 0) {
-    for (uint64_t c = 0; c < num_cols; ++c) {
-      stats_out[4 * c + 0] = 0;
-      stats_out[4 * c + 1] = 0;
-      stats_out[4 * c + 2] = 0;
-      stats_out[4 * c + 3] = 0;
-    }
+    for (uint64_t c = 0; c < num_cols; ++c)
+      for (int k = 0; k < 6; ++k) stats_out[6 * c + k] = 0;
     return;
   }
   std::atomic<uint64_t> next{0};
@@ -96,12 +93,23 @@ void s18_stats(const uint64_t* data, uint64_t num_tuples, uint64_t num_cols,
       }
       scratch.assign(col, col + num_tuples);
       std::sort(scratch.begin(), scratch.end());
-      uint64_t distinct =
-          std::unique(scratch.begin(), scratch.end()) - scratch.begin();
-      stats_out[4 * c + 0] = mn;
-      stats_out[4 * c + 1] = mx;
-      stats_out[4 * c + 2] = num_tuples;
-      stats_out[4 * c + 3] = distinct;
+      uint64_t distinct = 0, fmax = 0, mode = scratch[0];
+      uint64_t run = 1;
+      for (uint64_t i = 1; i <= num_tuples; ++i) {
+        if (i < num_tuples && scratch[i] == scratch[i - 1]) {
+          ++run;
+        } else {
+          ++distinct;
+          if (run > fmax) { fmax = run; mode = scratch[i - 1]; }
+          run = 1;
+        }
+      }
+      stats_out[6 * c + 0] = mn;
+      stats_out[6 * c + 1] = mx;
+      stats_out[6 * c + 2] = num_tuples;
+      stats_out[6 * c + 3] = distinct;
+      stats_out[6 * c + 4] = fmax;
+      stats_out[6 * c + 5] = mode;
     }
   };
   int n = std::max(1, std::min<int>(threads, static_cast<int>(num_cols)));

@@ -110,3 +110,56 @@ def test_batch_threading_order_stable(rand_catalog):
     got = [r.line() for r in results]
     want = [execute_query_numpy(q, rand_catalog) for q in queries]
     assert got == want
+
+
+def test_compiled_engine_matches_oracle(rand_catalog):
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    eng = CompiledEngine(rand_catalog, EngineConfig())
+    for qtext in QUERIES + [
+        "0|0.0>20|0.0 0.1",                    # filters only
+        "0|0.0=0.1|0.2",                       # self-join only
+        "0 1 2|0.0=1.0|2.0",                   # cartesian -> fallback
+        "0 1 2 3|0.0=1.0&1.1=2.1&2.2=3.0&0.1>10|3.1 0.1 1.0 2.2",
+    ]:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, rand_catalog), qtext
+
+
+def test_compiled_engine_small_workload(small_workload, small_catalog):
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+    from sigmod2018_tpu.frontend.parser import parse_work_file
+
+    _, work, expected = small_workload
+    eng = CompiledEngine(small_catalog, EngineConfig())
+    got = [eng.execute(q) for b in parse_work_file(work) for q in b]
+    bad = [(g, e) for g, e in zip(got, expected) if g != e.strip()]
+    assert not bad, bad[:3]
+
+
+def test_protocol_numpy_backend(tmp_path):
+    paths = []
+    for i, n in enumerate((20, 10)):
+        p = tmp_path / f"r{i}"
+        store_relation(make_identity_relation(n, 3), p)
+        paths.append(str(p))
+    stdin = io.StringIO(
+        "\n".join(paths) + "\nDone\n0 1|0.0=1.0|0.0 1.1\nF\nExit\n"
+    )
+    stdout = io.StringIO()
+    run_protocol(stdin, stdout, EngineConfig(backend="numpy"))
+    assert stdout.getvalue().splitlines() == ["45 45"]
+
+
+def test_protocol_serial_workers(tmp_path):
+    paths = []
+    for i, n in enumerate((20, 10)):
+        p = tmp_path / f"r{i}"
+        store_relation(make_identity_relation(n, 3), p)
+        paths.append(str(p))
+    stdin = io.StringIO(
+        "\n".join(paths) + "\nDone\n0 1|0.0=1.0|0.0 1.1\nF\nExit\n"
+    )
+    stdout = io.StringIO()
+    run_protocol(stdin, stdout, EngineConfig(batch_workers=1))
+    assert stdout.getvalue().splitlines() == ["45 45"]

@@ -34,7 +34,10 @@ def test_native_matches_numpy(tmp_path, lib_ok):
         np.testing.assert_array_equal(np.asarray(rel.column(c)), cols[c])
         want = compute_column_stats(cols[c])
         got = stats[c]
-        assert (got.l, got.u, got.f, got.d) == (want.l, want.u, want.f, want.d)
+        assert (got.l, got.u, got.f, got.d, got.fmax) == \
+            (want.l, want.u, want.f, want.d, want.fmax)
+        # modes can tie arbitrarily; multiplicity must agree
+        assert int(np.sum(cols[c] == np.uint64(got.mode))) == got.fmax
 
 
 def test_native_empty_relation(tmp_path, lib_ok):

@@ -88,3 +88,39 @@ def test_duplicate_pair_predicates_kept():
     q = parse_query("0 1|0.0=1.0&0.1=1.1|0.0")
     order = plan_joins(q, cat)
     assert len(order) == 2
+
+
+def test_mcv_sketch_sees_hot_keys():
+    """The 1-bucket MCV sketch must surface hot-key join fanout the
+    span-based formula misses (Zipf robustness)."""
+    rng = np.random.default_rng(6)
+    # r0.c0: half the rows are key 7 spread over a huge value range
+    hot = np.full(500, 7, dtype=np.uint64)
+    rest = rng.integers(0, 1 << 40, size=500, dtype=np.uint64)
+    r0 = Relation(columns=[np.concatenate([hot, rest])] * 3)
+    r1 = Relation(columns=[np.concatenate([hot, rest])] * 3)
+    cat = Catalog([r0, r1])
+    q = parse_query("0 1|0.0=1.0|0.0")
+    st = QueryStats(q, cat)
+    est = st.estimate_after(q.joins[0])
+    # hot key alone contributes 500*500 = 250000 pairs; the span formula
+    # would estimate ~0 (1000*1000 / 2^40)
+    assert est >= 250000
+
+
+def test_blowup_retry_net():
+    """A plan whose intermediate exceeds the cap retries in text order."""
+    import jax
+
+    from sigmod2018_tpu.config import EngineConfig
+    from sigmod2018_tpu.engine.executor import JaxEngine
+    from sigmod2018_tpu.engine.oracle import execute_query_numpy
+
+    rng = np.random.default_rng(7)
+    rels = [Relation(columns=[rng.integers(0, 10, size=200).astype(np.uint64)
+                              for _ in range(3)]) for _ in range(3)]
+    cat = Catalog(rels)
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1|0.2")
+    # Absurdly low cap: every plan blows it, forcing the retry path.
+    eng = JaxEngine(cat, EngineConfig(max_intermediate=10))
+    assert eng.execute(q) == execute_query_numpy(q, cat)

@@ -64,6 +64,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scale", type=int, default=10)
     ap.add_argument("--keyspace", type=int, default=1000)
+    ap.add_argument("--cap", type=int, default=0,
+                    help="max intermediate rows before a query is "
+                         "regenerated (default: max(2M, rows*50))")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -83,7 +86,7 @@ def main() -> None:
     from sigmod2018_tpu.engine.oracle import OracleOverflow
 
     catalog = Catalog(rels)
-    cap = max(2_000_000, rows * 50)
+    cap = args.cap or max(2_000_000, rows * 50)
     work, results = [], []
     for qi in range(args.queries):
         while True:  # regenerate queries whose results explode

@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# Regenerate the synthetic benchmark workloads (relation binaries are not
+# committed; generation is deterministic by seed so .work/.result match).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python tools/gen_workload.py workloads/scaled --profile scaled --rows 20000 --scale 10 --relations 6 --queries 12 --keyspace 20000 --seed 3
+python tools/gen_workload.py workloads/zipf --profile zipf --rows 50000 --relations 6 --queries 12 --keyspace 5000 --seed 4 --cap 1000000
