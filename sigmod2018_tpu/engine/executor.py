@@ -448,6 +448,19 @@ class JaxEngine:
             else:
                 prows[vi] = vals
 
+        packed = self._fused_join_packed(
+            keys_b, jnp.stack(brows), _n32(n_b),
+            keys_p, jnp.stack(prows), _n32(n_p),
+        )
+        return PendingResult(packed[: 1 + len(query.views)],
+                             len(query.views))
+
+    def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols,
+                           n_p) -> jax.Array:
+        """Fused final join + checksums -> packed [1 + V] device vector.
+        Each view's values live on exactly one side (the other side's
+        zero column contributes 0 to both partial sums).  Overridden by
+        the mesh engine with the distributed shuffle join."""
         fused = self._ops.join_checksum_fused
         if self.config.join_algo == "radix":
             from ..ops.radix_join import radix_join_checksum
@@ -460,13 +473,5 @@ class JaxEngine:
                 except ValueError:  # bucket overflow: fall back to sort
                     return self._ops.join_checksum_fused(kb, bc, nb, kp, pc, np_)
 
-        count, sums_b, sums_p = fused(
-            keys_b, jnp.stack(brows), _n32(n_b),
-            keys_p, jnp.stack(prows), _n32(n_p),
-        )
-        # Each view's values live on exactly one side; the other side's
-        # zero column contributes 0 to both partial sums.
-        packed = jnp.concatenate(
-            [count.reshape(1), (sums_b + sums_p)[: len(query.views)]]
-        )
-        return PendingResult(packed, len(query.views))
+        count, sums_b, sums_p = fused(keys_b, bcols, n_b, keys_p, pcols, n_p)
+        return jnp.concatenate([count.reshape(1), sums_b + sums_p])

@@ -199,6 +199,141 @@ def make_dist_join_checksum(mesh: Mesh, cap: int):
     return jax.jit(sharded)
 
 
+def partition_multi(keys: jax.Array, payloads, live: jax.Array,
+                    ndev: int, cap: int):
+    """partition_for_exchange with a tuple of payload columns: the
+    destination/rank computation runs once, every payload rides it."""
+    L = keys.shape[0]
+    dest = _dest_of(keys, live, ndev)
+    order = jnp.argsort(dest, stable=True).astype(jnp.int32)
+    sdest = dest[order]
+    hist = jnp.bincount(dest, length=ndev + 1).astype(jnp.int32)
+    starts = _exclusive_cumsum(hist)
+    rank = jnp.arange(L, dtype=jnp.int32) - starts[sdest]
+    send_keys = jnp.full((ndev, cap), _PAD_KEY, dtype=jnp.uint64)
+    send_keys = send_keys.at[sdest, rank].set(keys[order], mode="drop")
+    send_pay = tuple(
+        jnp.zeros((ndev, cap), dtype=p.dtype).at[sdest, rank].set(
+            p[order], mode="drop")
+        for p in payloads
+    )
+    counts = jnp.minimum(hist[:ndev], cap)
+    return send_keys, send_pay, counts
+
+
+def exchange_multi(send_keys: jax.Array, send_pays, counts: jax.Array):
+    """`exchange` for a tuple of payload buffers."""
+    ndev, cap = send_keys.shape
+    recv_keys = jax.lax.all_to_all(send_keys, AXIS, split_axis=0, concat_axis=0)
+    recv_pays = tuple(
+        jax.lax.all_to_all(p, AXIS, split_axis=0, concat_axis=0)
+        for p in send_pays
+    )
+    recv_cnt = jax.lax.all_to_all(counts[:, None], AXIS, split_axis=0,
+                                  concat_axis=0)[:, 0]
+    total = ndev * cap
+    starts = _exclusive_cumsum(recv_cnt)
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = slot < recv_cnt[:, None]
+    idx = jnp.where(valid, starts[:, None] + slot, total)
+    keys = jnp.full((total,), _PAD_KEY, dtype=jnp.uint64)
+    keys = keys.at[idx.reshape(-1)].set(recv_keys.reshape(-1), mode="drop")
+    pays = tuple(
+        jnp.zeros((total,), dtype=p.dtype)
+        .at[idx.reshape(-1)].set(p.reshape(-1), mode="drop")
+        for p in recv_pays
+    )
+    return keys, pays, jnp.sum(recv_cnt)
+
+
+def local_join_checksum_multi(bkeys, bcols, n_build, pkeys, pcols, n_probe):
+    """Chip-local fused join with V view columns per side (the multi-view
+    generalization of local_join_checksum; same prefix-sum pushdown as
+    ops/agg_join.py)."""
+    Pb = bkeys.shape[0]
+    live_b = jnp.arange(Pb, dtype=jnp.int32) < n_build
+    k = jnp.where(live_b, bkeys, _PAD_KEY)
+    perm = jnp.argsort(k).astype(jnp.int32)
+    sk = k[perm]
+    sv = jnp.where(live_b[None, :], bcols, jnp.uint64(0))[:, perm]
+    pref = jnp.concatenate(
+        [jnp.zeros((sv.shape[0], 1), jnp.uint64), jnp.cumsum(sv, axis=1)],
+        axis=1,
+    )
+    lo = jnp.minimum(jnp.searchsorted(sk, pkeys, side="left", method="sort"),
+                     n_build)
+    hi = jnp.minimum(jnp.searchsorted(sk, pkeys, side="right", method="sort"),
+                     n_build)
+    Pp = pkeys.shape[0]
+    live_p = jnp.arange(Pp, dtype=jnp.int32) < n_probe
+    cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.uint64)
+    count = jnp.sum(cnt)
+    sums_b = jnp.sum(
+        jnp.where(live_p[None, :], pref[:, hi] - pref[:, lo], jnp.uint64(0)),
+        axis=1,
+    )
+    sums_p = jnp.sum(cnt[None, :] * pcols, axis=1)
+    return count, sums_b, sums_p
+
+
+def make_fused_shuffle_join(mesh: Mesh, cap: int, n_views: int):
+    """The distributed fused final join: hash-shuffle both sides (keys +
+    n_views view columns each), chip-local multi-view join+checksum,
+    psum'd [1 + n_views] packed result — the SPMD twin of the
+    single-chip ops/join_checksum_fused, used by DistJaxEngine.
+
+    Inputs are row-sharded GLOBAL padded arrays plus replicated live
+    counts (live prefix is global: shard i owns rows [i*L, (i+1)*L))."""
+    ndev = mesh.devices.size
+
+    def step(bk, bcols, n_b, pk, pcols, n_p):
+        L = bk.shape[0]
+        me = jax.lax.axis_index(AXIS)
+        gidx = me * L + jnp.arange(L, dtype=jnp.int32)
+        live_b = gidx < n_b
+        live_p = (me * pk.shape[0]
+                  + jnp.arange(pk.shape[0], dtype=jnp.int32)) < n_p
+
+        sk_b, sp_b, cnt_b = partition_multi(bk, tuple(bcols), live_b, ndev, cap)
+        sk_p, sp_p, cnt_p = partition_multi(pk, tuple(pcols), live_p, ndev, cap)
+        kb, vb, nb = exchange_multi(sk_b, sp_b, cnt_b)
+        kp, vp, npr = exchange_multi(sk_p, sp_p, cnt_p)
+        count, sums_b, sums_p = local_join_checksum_multi(
+            kb, jnp.stack(vb), nb, kp, jnp.stack(vp), npr,
+        )
+        packed = jnp.concatenate([count.reshape(1), sums_b + sums_p])
+        return jax.lax.psum(packed, AXIS)
+
+    v = P(None, AXIS)
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), v, P(), P(AXIS), v, P()),
+        out_specs=P(),
+    )
+    return jax.jit(sharded)
+
+
+def make_shuffle_caps(mesh: Mesh):
+    """Max per-(source, destination) row count for BOTH sides in one
+    readback (sizes make_fused_shuffle_join's static cap)."""
+    ndev = mesh.devices.size
+
+    def one(keys, n, L):
+        me = jax.lax.axis_index(AXIS)
+        live = (me * L + jnp.arange(L, dtype=jnp.int32)) < n
+        dest = _dest_of(keys, live, ndev)
+        hist = jnp.bincount(dest, length=ndev + 1).astype(jnp.int32)[:ndev]
+        return jax.lax.pmax(jnp.max(hist), AXIS)
+
+    def step(bk, n_b, pk, n_p):
+        return jnp.stack([one(bk, n_b, bk.shape[0]),
+                          one(pk, n_p, pk.shape[0])])
+
+    return jax.jit(shard_map(step, mesh=mesh,
+                             in_specs=(P(AXIS), P(), P(AXIS), P()),
+                             out_specs=P()))
+
+
 def make_exchange_counts(mesh: Mesh):
     """First-pass program: exact per-destination row counts after the
     shuffle, so the host can pick the send capacity (SURVEY §7.1 two-phase

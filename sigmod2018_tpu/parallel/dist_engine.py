@@ -67,3 +67,30 @@ class DistJaxEngine(JaxEngine):
                                 self._row_sharding), 0)
             self._columns[key] = z
         return z[0]
+
+    # ---- distributed fused final join --------------------------------
+
+    def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols, n_p):
+        """Route the fused final join through the hand-written shard_map
+        hash-shuffle (dist.py) instead of GSPMD propagation: each chip
+        buckets its rows by key, all_to_all exchanges them over ICI, the
+        join runs chip-local, and the packed result psums back."""
+        from .dist import make_fused_shuffle_join, make_shuffle_caps
+
+        caps_fn = self._program(("caps", keys_b.shape[0], keys_p.shape[0]),
+                                lambda: make_shuffle_caps(self.mesh))
+        hints = np.asarray(caps_fn(keys_b, n_b, keys_p, n_p))
+        cap = size_class(max(int(hints[0]), int(hints[1]), 1),
+                         self.config.min_pad)
+        V = bcols.shape[0]
+        key = ("fused", cap, V, keys_b.shape[0], keys_p.shape[0])
+        join_fn = self._program(
+            key, lambda: make_fused_shuffle_join(self.mesh, cap, V))
+        return join_fn(keys_b, bcols, n_b, keys_p, pcols, n_p)
+
+    def _program(self, key, build):
+        progs = self.__dict__.setdefault("_dist_programs", {})
+        fn = progs.get(key)
+        if fn is None:
+            fn = progs[key] = build()
+        return fn

@@ -190,3 +190,31 @@ def test_dist_engine_full_queries(mesh):
     ]:
         q = parse_query(qtext)
         assert eng.execute(q) == execute_query_numpy(q, cat), qtext
+
+
+def test_dist_engine_shuffle_fused_join(mesh):
+    """The mesh engine's fused final join routes through the shard_map
+    hash shuffle (all_to_all) and stays bit-exact."""
+    from sigmod2018_tpu.config import EngineConfig
+    from sigmod2018_tpu.engine.oracle import execute_query_numpy
+    from sigmod2018_tpu.frontend.parser import parse_query
+    from sigmod2018_tpu.parallel.dist_engine import DistJaxEngine
+    from sigmod2018_tpu.storage.catalog import Catalog
+    from sigmod2018_tpu.storage.relation import Relation
+
+    rng = np.random.default_rng(33)
+    rels = []
+    for n in (640, 320):
+        cols = [rng.integers(0, 60, size=n).astype(np.uint64) for _ in range(3)]
+        rels.append(Relation(columns=cols))
+    cat = Catalog(rels)
+    eng = DistJaxEngine(cat, EngineConfig(), mesh=mesh)
+    for qtext in [
+        "0 1|0.0=1.0|0.1 1.2",
+        "0 1|0.0=1.0&0.1>30|0.1 1.2 0.2",
+        "0 1|0.0=1.0&0.0>100|0.0",        # empty -> NULL
+    ]:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, cat), qtext
+    # the override is actually exercised
+    assert any(k[0] == "fused" for k in eng._dist_programs)
