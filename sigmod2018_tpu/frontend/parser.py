@@ -23,7 +23,7 @@ expose `filters_and_selfjoins` / `joins` views with the same split.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Iterator, List, Sequence, Tuple, Union
+from typing import Iterable, Iterator, List, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,5 +24,6 @@ __all__ = [
     "join_probe_count",
     "join_emit",
     "join_checksum_fused",
+    "radix_join_checksum",
     "cartesian_indices",
 ]
