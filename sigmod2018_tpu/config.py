@@ -44,6 +44,11 @@ class EngineConfig:
     # the workload author validated).  0 disables the net.
     max_intermediate: int = 1 << 26
 
+    # Clear jit caches after every N batches (0 = never).  The compiled
+    # engine holds one program per distinct query text; unbounded query
+    # diversity in a long-lived server grows host memory without this.
+    cache_clear_batches: int = 0
+
     # Threads dispatching queries of one batch concurrently.  Device work
     # is serialized by XLA; the threads exist to overlap the per-query
     # host syncs (each costs a full RTT on a tunneled TPU).
@@ -70,6 +75,7 @@ class EngineConfig:
             fuse_final_join=_flag("S18_FUSE", "1") != "0",
             compile_queries=_flag("S18_COMPILE_QUERIES", "1") != "0",
             batch_workers=int(_flag("S18_WORKERS", "8")),
+            cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),
             explain=_flag("S18_EXPLAIN", "0") == "1",
             trace=_flag("S18_TRACE", "0") == "1",
             mesh_devices=int(_flag("S18_MESH", "1")),

@@ -106,6 +106,7 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         stdout.flush()
 
     batch: List[Query] = []
+    batches_done = 0
     for raw in stdin:
         line = raw.strip()
         if line == "Exit":
@@ -115,6 +116,12 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         if line == "F":
             run_batch(batch)
             batch = []
+            batches_done += 1
+            if (config.cache_clear_batches
+                    and batches_done % config.cache_clear_batches == 0):
+                import jax
+
+                jax.clear_caches()  # bound program-cache growth
             continue
         try:
             batch.append(parse_query(line))
