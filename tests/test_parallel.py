@@ -218,3 +218,25 @@ def test_dist_engine_shuffle_fused_join(mesh):
         assert eng.execute(q) == execute_query_numpy(q, cat), qtext
     # the override is actually exercised
     assert any(k[0] == "fused" for k in eng._dist_programs)
+
+
+def test_dist_join_4_device_mesh():
+    """Mesh-shape agnosticism: the same programs on a 4-device mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    mesh4 = make_mesh(4)
+    rng = np.random.default_rng(44)
+    nr = ns = 512
+    r_key = rng.integers(0, 100, size=nr, dtype=np.uint64)
+    r_val = rng.integers(0, 1 << 40, size=nr, dtype=np.uint64)
+    s_key = rng.integers(0, 100, size=ns, dtype=np.uint64)
+    s_val = rng.integers(0, 1 << 40, size=ns, dtype=np.uint64)
+    const = np.uint64(1 << 39)
+    f = make_dist_join_checksum(mesh4, cap=nr)
+    total, sum_b, sum_p = f(
+        _put(mesh4, r_key), _put(mesh4, r_val),
+        _put(mesh4, s_key), _put(mesh4, s_val),
+        jnp.uint64(const),
+    )
+    w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
+    assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
