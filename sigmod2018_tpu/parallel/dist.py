@@ -175,26 +175,30 @@ def make_dist_join_checksum(mesh: Mesh, cap: int):
     Inputs are row-sharded columns; `filter_const` applies `> const` to the
     build side's payload column before the join (a representative one-join
     query: `SELECT SUM(r.b), SUM(s.c) FROM r, s WHERE r.a = s.a AND r.b > k`).
-    The three outputs are replicated scalars — bit-exact wrap-around uint64,
-    identical on every chip.
+    Outputs are replicated scalars (count, sum_build, sum_probe, overflow):
+    the first three are bit-exact wrap-around uint64, identical on every
+    chip; `overflow` is nonzero iff any chip's per-destination send buffer
+    truncated (undersized `cap`) — the result is then invalid and the
+    caller must retry with a bigger cap instead of trusting it silently.
     """
     ndev = mesh.devices.size
 
     def step(r_key, r_val, s_key, s_val, filter_const):
         live_r = r_val > filter_const
         live_s = jnp.ones(s_key.shape, dtype=bool)
-        sk_r, sp_r, cnt_r, _ = partition_for_exchange(r_key, r_val, live_r, ndev, cap)
-        sk_s, sp_s, cnt_s, _ = partition_for_exchange(s_key, s_val, live_s, ndev, cap)
+        sk_r, sp_r, cnt_r, ov_r = partition_for_exchange(r_key, r_val, live_r, ndev, cap)
+        sk_s, sp_s, cnt_s, ov_s = partition_for_exchange(s_key, s_val, live_s, ndev, cap)
         bk, bv, nb = exchange(sk_r, sp_r, cnt_r)
         pk, pv, npr = exchange(sk_s, sp_s, cnt_s)
         total, sum_b, sum_p = local_join_checksum(bk, bv, nb, pk, pv, npr)
+        overflow = (ov_r | ov_s).astype(jnp.int32)
         return (jax.lax.psum(total, AXIS), jax.lax.psum(sum_b, AXIS),
-                jax.lax.psum(sum_p, AXIS))
+                jax.lax.psum(sum_p, AXIS), jax.lax.psum(overflow, AXIS))
 
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
     )
     return jax.jit(sharded)
 
@@ -392,7 +396,11 @@ def make_dist_join_checksum_skew(mesh: Mesh, cap: int, hot_k: int = 16,
          over all chips instead of landing on one,
       4. everything else takes the normal hash shuffle + local join.
 
-    Aggregates from both paths psum into the same three scalars.
+    Aggregates from both paths psum into the same three scalars; a fourth
+    `overflow` output is nonzero iff any chip truncated hot build rows
+    (more than `hot_cap` local hot rows) or overflowed a cold send buffer
+    (undersized `cap`) — silent truncation would corrupt the psum'd
+    checksums, so the caller must check it and retry with bigger caps.
     """
     ndev = mesh.devices.size
 
@@ -431,6 +439,8 @@ def make_dist_join_checksum_skew(mesh: Mesh, cap: int, hot_k: int = 16,
         hot_s = is_hot(s_key, live_s)
 
         # --- 2. all_gather the hot build rows ----------------------------
+        n_hot_local = jnp.sum(hot_r.astype(jnp.int32))
+        hot_overflow = n_hot_local > jnp.int32(hot_cap)
         hp = jnp.argsort(~hot_r, stable=True).astype(jnp.int32)[:hot_cap]
         sel = hot_r[hp]
         hk = jnp.where(sel, r_key[hp], _PAD_KEY)
@@ -454,22 +464,24 @@ def make_dist_join_checksum_skew(mesh: Mesh, cap: int, hot_k: int = 16,
         # --- 4. normal shuffle for the cold rows -------------------------
         cold_r = live_r & ~hot_r
         cold_s = live_s & ~hot_s
-        sk_r, sp_r, cnt_r, _ = partition_for_exchange(r_key, r_val, cold_r,
-                                                      ndev, cap)
-        sk_s, sp_s, cnt_s2, _ = partition_for_exchange(s_key, s_val, cold_s,
-                                                       ndev, cap)
+        sk_r, sp_r, cnt_r, ov_r = partition_for_exchange(r_key, r_val, cold_r,
+                                                         ndev, cap)
+        sk_s, sp_s, cnt_s2, ov_s = partition_for_exchange(s_key, s_val, cold_s,
+                                                          ndev, cap)
         bk, bv, nb = exchange(sk_r, sp_r, cnt_r)
         pk, pv, npr = exchange(sk_s, sp_s, cnt_s2)
         t_c, sb_c, sp_c = local_join_checksum(bk, bv, nb, pk, pv, npr)
 
+        overflow = (hot_overflow | ov_r | ov_s).astype(jnp.int32)
         return (jax.lax.psum(t_h + t_c, AXIS),
                 jax.lax.psum(sb_h + sb_c, AXIS),
-                jax.lax.psum(sp_h + sp_c, AXIS))
+                jax.lax.psum(sp_h + sp_c, AXIS),
+                jax.lax.psum(overflow, AXIS))
 
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
     )
     return jax.jit(sharded)
 

@@ -36,8 +36,13 @@ class _S18Relation(ctypes.Structure):
 def _build() -> Optional[ctypes.CDLL]:
     if os.environ.get("S18_NATIVE", "1") == "0":
         return None
+    # The .so is never committed (it would be unreviewable and could carry
+    # another host's microarchitecture); it is built from source on first
+    # import.  No -march=native: the binary may outlive the host it was
+    # built on (container snapshots), and the hot loops vectorize fine at
+    # plain -O3.
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                "-o", _SO + ".tmp", _SRC, "-lpthread"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -57,7 +62,32 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
     ]
     lib.s18_stats.restype = None
-    return lib
+    return lib if _selftest(lib) else None
+
+
+def _selftest(lib) -> bool:
+    """Run-once smoke test: load + stat a tiny relation in-process.  A bad
+    binary (stale build, ABI drift) fails here and the NumPy path takes
+    over, instead of SIGILL/SIGSEGV mid-serving."""
+    try:
+        data = np.array([2, 2, 5, 7, 5, 9], dtype=np.uint64)  # 2 cols x 2 rows
+        with tempfile.NamedTemporaryFile(suffix=".s18", delete=False) as f:
+            f.write(np.array([2, 2], dtype=np.uint64).tobytes())
+            f.write(data[2:].tobytes())
+            path = f.name
+        try:
+            rel = _S18Relation()
+            if lib.s18_load(path.encode(), ctypes.byref(rel)) != 0:
+                return False
+            raw = (ctypes.c_uint64 * 12)()
+            lib.s18_stats(rel.data, 2, 2, raw, 1)
+            ok = (raw[0], raw[1], raw[2], raw[3]) == (5, 7, 2, 2)
+            lib.s18_unload(ctypes.byref(rel))
+            return ok
+        finally:
+            os.unlink(path)
+    except Exception:
+        return False
 
 
 _LIB = _build()

@@ -50,7 +50,11 @@ int s18_load(const char* path, S18Relation* out) {
   if (base == MAP_FAILED) return -4;
   const uint64_t* header = static_cast<const uint64_t*>(base);
   uint64_t tuples = header[0], cols = header[1];
-  if (static_cast<uint64_t>(st.st_size) < 16 + tuples * cols * 8) {
+  // Overflow-safe bounds check: `16 + tuples * cols * 8` can wrap for a
+  // corrupt header (e.g. tuples = 2^61) and bypass a naive comparison,
+  // turning a bad file into out-of-bounds reads.  Divide instead.
+  uint64_t avail_words = (static_cast<uint64_t>(st.st_size) - 16) / 8;
+  if (tuples != 0 && (cols > avail_words / tuples)) {
     munmap(base, st.st_size);
     return -5;
   }

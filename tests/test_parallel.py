@@ -87,11 +87,12 @@ def test_dist_join_checksum_matches_oracle(mesh, seed, nr, ns, keyspace):
     cap = max(nr, ns) // N_DEV * 4  # generous for the skewed case
     cap = max(cap, nr, ns) if keyspace == 1 else cap
     f = make_dist_join_checksum(mesh, cap=cap)
-    total, sum_b, sum_p = f(
+    total, sum_b, sum_p, overflow = f(
         _put(mesh, r_key), _put(mesh, r_val),
         _put(mesh, s_key), _put(mesh, s_val),
         jnp.uint64(const),
     )
+    assert int(overflow) == 0
     w_total, w_sum_b, w_sum_p = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
     assert int(total) == w_total
     assert int(sum_b) & _MASK64 == w_sum_b
@@ -109,7 +110,7 @@ def test_pad_key_value_joins_correctly(mesh):
     const = np.uint64(0)  # keeps all but r_val==0 rows
 
     f = make_dist_join_checksum(mesh, cap=r_key.size)
-    total, sum_b, sum_p = f(
+    total, sum_b, sum_p, _overflow = f(
         _put(mesh, r_key), _put(mesh, r_val),
         _put(mesh, s_key), _put(mesh, s_val),
         jnp.uint64(const),
@@ -134,11 +135,12 @@ def test_skew_join_matches_oracle(mesh, alpha):
 
     f = make_dist_join_checksum_skew(mesh, cap=nr + ns, hot_k=16,
                                      hot_cap=nr, hot_threshold=4)
-    total, sum_b, sum_p = f(
+    total, sum_b, sum_p, overflow = f(
         _put(mesh, r_key), _put(mesh, r_val),
         _put(mesh, s_key), _put(mesh, s_val),
         jnp.uint64(const),
     )
+    assert int(overflow) == 0
     w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
     assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
 
@@ -156,11 +158,12 @@ def test_skew_join_uniform_keys_no_false_positives(mesh):
     const = np.uint64(0)
 
     f = make_dist_join_checksum_skew(mesh, cap=nr + ns, hot_cap=nr)
-    total, sum_b, sum_p = f(
+    total, sum_b, sum_p, overflow = f(
         _put(mesh, r_key), _put(mesh, r_val),
         _put(mesh, s_key), _put(mesh, s_val),
         jnp.uint64(const),
     )
+    assert int(overflow) == 0
     w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
     assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
 
@@ -233,10 +236,47 @@ def test_dist_join_4_device_mesh():
     s_val = rng.integers(0, 1 << 40, size=ns, dtype=np.uint64)
     const = np.uint64(1 << 39)
     f = make_dist_join_checksum(mesh4, cap=nr)
-    total, sum_b, sum_p = f(
+    total, sum_b, sum_p, _overflow = f(
         _put(mesh4, r_key), _put(mesh4, r_val),
         _put(mesh4, s_key), _put(mesh4, s_val),
         jnp.uint64(const),
     )
     w = _oracle_join_checksum(r_key, r_val, s_key, s_val, const)
     assert (int(total), int(sum_b) & _MASK64, int(sum_p) & _MASK64) == w
+
+
+def test_dist_join_overflow_reported(mesh):
+    """Undersized send caps must set the overflow flag (ADVICE r1: silent
+    truncation produced wrong psum'd checksums)."""
+    rng = np.random.default_rng(55)
+    nr = ns = 64 * N_DEV
+    r_key = np.zeros(nr, dtype=np.uint64)  # every row routes to chip 0
+    r_val = rng.integers(1, 1 << 40, size=nr, dtype=np.uint64)
+    s_key = np.zeros(ns, dtype=np.uint64)
+    s_val = rng.integers(1, 1 << 40, size=ns, dtype=np.uint64)
+    f = make_dist_join_checksum(mesh, cap=8)  # < 64 rows/chip to chip 0
+    *_ , overflow = f(
+        _put(mesh, r_key), _put(mesh, r_val),
+        _put(mesh, s_key), _put(mesh, s_val),
+        jnp.uint64(0),
+    )
+    assert int(overflow) > 0
+
+
+def test_skew_join_hot_cap_overflow_reported(mesh):
+    """Hot build rows beyond hot_cap must flag, not silently drop."""
+    from sigmod2018_tpu.parallel import make_dist_join_checksum_skew
+
+    nr = ns = 64 * N_DEV
+    r_key = np.zeros(nr, dtype=np.uint64)   # one key, all build rows hot
+    r_val = np.ones(nr, dtype=np.uint64)
+    s_key = np.zeros(ns, dtype=np.uint64)
+    s_val = np.ones(ns, dtype=np.uint64)
+    f = make_dist_join_checksum_skew(mesh, cap=nr, hot_k=16, hot_cap=4,
+                                     hot_threshold=4)
+    *_, overflow = f(
+        _put(mesh, r_key), _put(mesh, r_val),
+        _put(mesh, s_key), _put(mesh, s_val),
+        jnp.uint64(0),
+    )
+    assert int(overflow) > 0

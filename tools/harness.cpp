@@ -11,6 +11,7 @@
 // Build:  g++ -O2 -std=c++17 -o build/harness tools/harness.cpp
 // Usage:  harness INIT WORK RESULT [PREP_SECONDS [CMD ARGS...]]
 
+#include <cerrno>
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
@@ -21,7 +22,9 @@
 #include <string>
 #include <vector>
 
+#include <fcntl.h>
 #include <libgen.h>
+#include <sys/select.h>
 #include <sys/wait.h>
 #include <unistd.h>
 
@@ -93,43 +96,92 @@ int main(int argc, char** argv) {
   }
   close(to_child[0]);
   close(from_child[1]);
-  FILE* in = fdopen(to_child[1], "w");
-  FILE* out = fdopen(from_child[0], "r");
+  int in_fd = to_child[1], out_fd = from_child[0];
 
-  for (auto& l : init) {
-    if (!l.empty()) fprintf(in, "%s\n", l.c_str());
+  // Init phase: the engine produces no output before the first 'F', so a
+  // blocking write of the relation list cannot deadlock.
+  {
+    std::string s;
+    for (auto& l : init)
+      if (!l.empty()) { s += l; s += '\n'; }
+    s += "Done\n";
+    size_t off = 0;
+    while (off < s.size()) {
+      ssize_t w = write(in_fd, s.data() + off, s.size() - off);
+      if (w <= 0) { perror("write init"); return 2; }
+      off += (size_t)w;
+    }
   }
-  fprintf(in, "Done\n");
-  fflush(in);
   usleep((useconds_t)(prep_s * 1e6));  // untimed prep window
 
+  // Batch phase: a select() loop feeds the batch while draining results.
+  // Writing a whole batch before reading deadlocks once the engine fills
+  // its stdout pipe while our stdin pipe is also full (both ends block) —
+  // a 10-query batch never hits it, a 5000-query batch does.
+  fcntl(in_fd, F_SETFL, O_NONBLOCK);
   int failures = 0, total = 0;
   size_t expect_i = 0;
+  std::string rdbuf;  // carries partial lines across select rounds
   auto t0 = std::chrono::steady_clock::now();
-  char buf[1 << 16];
   for (auto& batch : batches) {
-    for (auto& q : batch) fprintf(in, "%s\n", q.c_str());
-    fprintf(in, "F\n");
-    fflush(in);
-    for (size_t i = 0; i < batch.size(); ++i) {
-      if (!fgets(buf, sizeof buf, out)) {
-        std::cerr << "engine closed stdout early\n";
-        return 1;
+    std::string outbuf;
+    for (auto& q : batch) { outbuf += q; outbuf += '\n'; }
+    outbuf += "F\n";
+    size_t sent = 0, got_lines = 0;
+    while (got_lines < batch.size()) {
+      fd_set rfds, wfds;
+      FD_ZERO(&rfds);
+      FD_ZERO(&wfds);
+      FD_SET(out_fd, &rfds);
+      if (sent < outbuf.size()) FD_SET(in_fd, &wfds);
+      int nfds = (in_fd > out_fd ? in_fd : out_fd) + 1;
+      if (select(nfds, &rfds, sent < outbuf.size() ? &wfds : nullptr,
+                 nullptr, nullptr) < 0) {
+        perror("select");
+        return 2;
       }
-      std::string got(buf);
-      while (!got.empty() && (got.back() == '\n' || got.back() == '\r'))
-        got.pop_back();
-      while (expect_i < expect.size() && expect[expect_i].empty()) ++expect_i;
-      const std::string& want =
-          expect_i < expect.size() ? expect[expect_i++] : std::string();
-      ++total;
-      if (got != want) {
-        ++failures;
-        std::cerr << "MISMATCH q" << total << ": got '" << got << "' want '"
-                  << want << "'\n";
-        if (failures >= kMaxFailures) {
-          std::cerr << "too many failures, aborting\n";
+      if (sent < outbuf.size() && FD_ISSET(in_fd, &wfds)) {
+        ssize_t w = write(in_fd, outbuf.data() + sent, outbuf.size() - sent);
+        if (w > 0) sent += (size_t)w;
+        else if (w < 0 && errno != EAGAIN && errno != EWOULDBLOCK) {
+          perror("write");
           return 1;
+        }
+      }
+      if (FD_ISSET(out_fd, &rfds)) {
+        char buf[1 << 16];
+        ssize_t r = read(out_fd, buf, sizeof buf);
+        if (r == 0) {
+          std::cerr << "engine closed stdout early\n";
+          return 1;
+        }
+        if (r < 0) {
+          if (errno == EAGAIN || errno == EINTR) continue;
+          perror("read");
+          return 1;
+        }
+        rdbuf.append(buf, (size_t)r);
+        size_t nl;
+        while (got_lines < batch.size() &&
+               (nl = rdbuf.find('\n')) != std::string::npos) {
+          std::string got = rdbuf.substr(0, nl);
+          rdbuf.erase(0, nl + 1);
+          if (!got.empty() && got.back() == '\r') got.pop_back();
+          ++got_lines;
+          while (expect_i < expect.size() && expect[expect_i].empty())
+            ++expect_i;
+          const std::string want =
+              expect_i < expect.size() ? expect[expect_i++] : std::string();
+          ++total;
+          if (got != want) {
+            ++failures;
+            std::cerr << "MISMATCH q" << total << ": got '" << got
+                      << "' want '" << want << "'\n";
+            if (failures >= kMaxFailures) {
+              std::cerr << "too many failures, aborting\n";
+              return 1;
+            }
+          }
         }
       }
     }
@@ -137,10 +189,13 @@ int main(int argc, char** argv) {
   auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
                 std::chrono::steady_clock::now() - t0)
                 .count();
-  fprintf(in, "Exit\n");
-  fflush(in);
-  fclose(in);
-  fclose(out);
+  fcntl(in_fd, F_SETFL, 0);  // back to blocking for the farewell
+  {
+    const char* bye = "Exit\n";
+    if (write(in_fd, bye, 5) != 5) { /* engine may already be gone */ }
+  }
+  close(in_fd);
+  close(out_fd);
   waitpid(pid, nullptr, 0);
 
   if (failures == 0) {

@@ -45,7 +45,9 @@ def parse_batches(work_lines, result_lines):
     it = iter(expected)
     out = []
     for b in batches:
-        out.append((b, [next(it) for _ in b]))
+        # A short .result file is a mismatch to report (like the C++
+        # harness), not a StopIteration crash: missing lines become None.
+        out.append((b, [next(it, None) for _ in b]))
     return out
 
 
@@ -84,13 +86,30 @@ def main() -> int:
         total = 0
         t0 = time.perf_counter()
         for queries, expected in batches:
-            for q in queries:
-                proc.stdin.write(q + "\n")
-            proc.stdin.write("F\n")
-            proc.stdin.flush()
+            # Feed from a thread while draining stdout: writing a huge
+            # batch before reading deadlocks once both pipes fill (same
+            # select()-loop rationale as tools/harness.cpp).
+            import threading
+
+            def _feed(qs=queries):
+                try:
+                    for q in qs:
+                        proc.stdin.write(q + "\n")
+                    proc.stdin.write("F\n")
+                    proc.stdin.flush()
+                except (BrokenPipeError, ValueError):
+                    pass  # engine died / early abort path closed stdin
+
+            feeder = threading.Thread(target=_feed, daemon=True)
+            feeder.start()
             for want in expected:
                 got = proc.stdout.readline().rstrip("\n")
                 total += 1
+                if want is None:
+                    failures += 1
+                    print(f"MISMATCH q{total}: got {got!r}, no expected line",
+                          file=sys.stderr)
+                    continue
                 if got != want:
                     failures += 1
                     print(f"MISMATCH q{total}: got {got!r} want {want!r}",
@@ -98,6 +117,7 @@ def main() -> int:
                     if failures >= MAX_FAILURES:
                         print("too many failures, aborting", file=sys.stderr)
                         return 1
+            feeder.join()
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
     finally:
         try:
