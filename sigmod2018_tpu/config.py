@@ -38,6 +38,16 @@ class EngineConfig:
     # operator.  Single-join queries become one program, zero syncs.
     compile_queries: bool = True
 
+    # Speculative intermediate sizing (engine/compiled.py): guess every
+    # intermediate join's size class from planner estimates x spec_margin
+    # and run the whole query as ONE program with zero host syncs; a
+    # missed guess re-runs that query on the per-join sync path.  Guesses
+    # whose class would exceed spec_max rows skip speculation (padded
+    # compute and compile time grow with the class).
+    speculate: bool = True
+    spec_margin: int = 8
+    spec_max: int = 1 << 22
+
     # Intermediate-result row cap: if a planned join order produces a
     # bigger intermediate, the query retries in original text order
     # (estimator misfires on adversarial skew; the text order is what
@@ -62,6 +72,12 @@ class EngineConfig:
     # (1 = single chip; >1 requires that many JAX devices).
     mesh_devices: int = 1
 
+    # Distributed join strategy cutover: a build side whose padded
+    # GLOBAL row count is at or below this broadcasts via all_gather
+    # (the big probe side moves nothing); larger builds hash-shuffle
+    # both sides with all_to_all (parallel/dist_compiled.py).
+    bcast_threshold: int = 4096
+
     @staticmethod
     def from_env() -> "EngineConfig":
         def _flag(name: str, default: str) -> str:
@@ -74,11 +90,15 @@ class EngineConfig:
             optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
             fuse_final_join=_flag("S18_FUSE", "1") != "0",
             compile_queries=_flag("S18_COMPILE_QUERIES", "1") != "0",
+            speculate=_flag("S18_SPECULATE", "1") != "0",
+            spec_margin=int(_flag("S18_SPEC_MARGIN", "8")),
+            spec_max=int(_flag("S18_SPEC_MAX", str(1 << 22))),
             batch_workers=int(_flag("S18_WORKERS", "8")),
             cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),
             explain=_flag("S18_EXPLAIN", "0") == "1",
             trace=_flag("S18_TRACE", "0") == "1",
             mesh_devices=int(_flag("S18_MESH", "1")),
+            bcast_threshold=int(_flag("S18_BCAST", "4096")),
         )
 
 

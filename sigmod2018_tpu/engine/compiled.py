@@ -1,39 +1,47 @@
-"""Whole-query segment compilation: one XLA program per sync point.
+"""Whole-query compilation: structure-keyed programs + speculative sizing.
 
 The operator-granular executor (executor.py) dispatches ~6-20 device
 programs per query; on a tunneled TPU the Python/dispatch overhead and
 the per-program boundaries dominate the tiny workload.  This engine
-compiles each query into at most
+compiles each query into ONE XLA program in the common case, and at most
+1 + (#intermediate joins) programs when speculation misses.
 
-    1 + (#intermediate joins)
+Two mechanisms (both SURVEY §7.3 "dynamic shapes everywhere" answers):
 
-programs: execution re-runs from the base columns inside ONE jitted
-function per segment, where a segment ends at the only data-dependent
-decision the host must make — the size class of an intermediate join's
-output (SURVEY §7.3 "dynamic shapes everywhere").  Everything else
-(filters, self-joins, gathers, the final fused join + checksums) fuses
-into the same program, letting XLA fuse masks and gathers into the join.
+1. **Structure keying.**  The jit cache key is the query's *skeleton*:
+   the query with every filter constant replaced by an index into a
+   runtime uint64 `consts` vector.  Two queries differing only in
+   constants (template workloads, fuzzers, dashboards) share one
+   compiled program — compile count tracks query *shapes*, not query
+   *texts*, so cold-start cost and cache growth stay bounded.
+2. **Speculative intermediate sizing.**  The only data-dependent value
+   the host must supply is each intermediate join's padded output size.
+   Instead of syncing per join (a full RTT each on a tunneled TPU), the
+   host *guesses* every size class up front from the planner's
+   cardinality estimates (margin × estimate, power-of-two class), runs
+   the whole query as one program, and the program returns the actual
+   totals alongside the packed result.  Validation happens after the
+   batch's single fetch: a guess that was too small truncated the
+   intermediate, so the query re-runs on the incremental (per-join sync)
+   path with the now-known exact classes.  Good guesses ⇒ a whole batch
+   costs ZERO per-query syncs — one packed fetch for all queries.
 
-Re-running earlier joins in each segment costs O(J^2) device compute for
-a J-join query; J <= 4 on contest queries and device compute is orders
+Re-running earlier joins in each segment costs O(J²) device compute for
+a J-join query; J ≤ 4 on contest queries and device compute is orders
 of magnitude cheaper than a program boundary here.
 
-Static keys: `Query`, `JoinPred`, `FilterPred` are frozen dataclasses —
-hashable — so (query, join_order, classes_so_far) is the jit cache key.
 Queries whose shape cannot be decided statically (disconnected view
 bindings needing a cartesian product) fall back to the step-wise engine.
-
-Single-join queries (the common case) execute as ONE program with ZERO
-host syncs.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..frontend.parser import FilterPred, JoinPred, Query
 from ..utils.padding import size_class
@@ -48,8 +56,61 @@ from .executor import (
 from .. import ops
 
 
+def _skeletonize(query: Query) -> Tuple[Query, np.ndarray]:
+    """Replace every filter constant with its index into a consts vector.
+
+    The returned skeleton (text dropped, values = indices) is the jit
+    cache key; the uint64 consts array rides into the program as a
+    runtime argument, so constant-only query variations share programs.
+    """
+    consts: List[int] = []
+    preds = []
+    for p in query.predicates:
+        if isinstance(p, FilterPred):
+            preds.append(FilterPred(p.binding, p.column, p.op, len(consts)))
+            consts.append(p.value & _MASK64)
+        else:
+            preds.append(p)
+    skel = Query(query.relations, tuple(preds), query.views, text="")
+    return skel, np.asarray(consts, dtype=np.uint64)
+
+
+class SpecResult(PendingResult):
+    """A speculatively-sized query answer: packed device vector
+    [t_1..t_k, count, sum_0..sum_{V-1}] where t_i are the actual
+    intermediate-join totals.  Valid iff every t_i fit its guessed
+    class; otherwise `retry` re-runs the query incrementally."""
+
+    def __init__(self, packed: jax.Array, num_views: int,
+                 classes: Tuple[int, ...], max_intermediate: int,
+                 retry: Callable[[], str]):
+        super().__init__(packed, num_views)
+        self.classes = classes
+        self.max_intermediate = max_intermediate
+        self.retry = retry
+
+    @property
+    def packed_len(self) -> int:
+        return len(self.classes) + 1 + self.num_views
+
+    def line_from(self, arr) -> str:
+        k = len(self.classes)
+        totals = [int(t) for t in arr[:k]]
+        if any(t > c for t, c in zip(totals, self.classes)) or (
+            0 < self.max_intermediate < max(totals, default=0)
+        ):
+            return self.retry()
+        if int(arr[k]) == 0:
+            return " ".join("NULL" for _ in range(self.num_views))
+        return " ".join(str(int(v) & _MASK64) for v in arr[k + 1:])
+
+    def line(self) -> str:
+        return self.line_from(np.asarray(self.packed))
+
+
 class CompiledEngine(JaxEngine):
-    """JaxEngine with per-query segment compilation (S18_COMPILE_QUERIES)."""
+    """JaxEngine with whole-query structure-keyed compilation
+    (S18_COMPILE_QUERIES) and speculative sizing (S18_SPECULATE)."""
 
     def execute_async(self, query: Query) -> Result:
         try:
@@ -58,28 +119,59 @@ class CompiledEngine(JaxEngine):
         except _Fallback:
             return super().execute_async(query)
         except IntermediateBlowup:
-            # Planner misfire on skew: retry in original text order
-            # (see executor.py).
-            try:
-                return self._execute_compiled(query, use_planner=False,
-                                              guard=False)
-            except _Fallback:
-                return super().execute_async(query)
+            return self._retry_text_order(query)
+
+    def _retry_text_order(self, query: Query) -> Result:
+        # Planner misfire on skew: retry in original text order
+        # (see executor.py).
+        try:
+            return self._execute_compiled(query, use_planner=False,
+                                          guard=False)
+        except _Fallback:
+            return super().execute_async(query)
 
     def _execute_compiled(self, query: Query, use_planner: bool,
                           guard: bool) -> Result:
-        plan = self._static_plan(query, use_planner)
-        joins, cols_used, n_classes = plan
+        joins, cols_used, n_classes, class_idx = self._static_plan(
+            query, use_planner)
+        skel, consts = _skeletonize(query)
         cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
+        args = (skel, joins, cols_used, ns, consts, cols)
+
+        if n_classes and guard and self.config.speculate:
+            classes = self._guess_classes(query, joins, class_idx)
+            if classes is not None:
+                out = _run_segments(skel, joins, classes, cols_used, ns,
+                                    self.config.min_pad,
+                                    self.config.fuse_final_join,
+                                    consts, cols)
+
+                def retry() -> str:
+                    try:
+                        res = self._run_incremental(query, *args,
+                                                    guard=guard)
+                    except IntermediateBlowup:
+                        res = self._retry_text_order(query)
+                    return res.line()
+
+                return SpecResult(out, len(query.views), classes,
+                                  self.config.max_intermediate if guard
+                                  else 0, retry)
+        return self._run_incremental(query, *args, guard=guard)
+
+    def _run_incremental(self, query: Query, skel, joins, cols_used, ns,
+                         consts, cols, guard: bool) -> Result:
+        """Per-intermediate-join sync path: each segment's output total
+        sizes the next static class (1 RTT per intermediate join)."""
         classes: Tuple[int, ...] = ()
         while True:
-            out = _run_segments(
-                query, joins, classes, cols_used, ns,
-                self.config.min_pad, cols,
-            )
-            if len(classes) == n_classes:
-                return PendingResult(out, len(query.views))
+            out = _run_segments(skel, joins, classes, cols_used, ns,
+                                self.config.min_pad,
+                                self.config.fuse_final_join, consts, cols)
+            if out.ndim:  # complete: [totals..., count, sums...]
+                return SpecResult(out, len(query.views), classes, 0,
+                                  retry=lambda: "")  # totals known valid
             total = int(out)  # the one sync per intermediate join
             if total == 0:
                 return NullResult(len(query.views))
@@ -87,9 +179,27 @@ class CompiledEngine(JaxEngine):
                 raise IntermediateBlowup(total)
             classes = classes + (size_class(total, self.config.min_pad),)
 
+    def _guess_classes(self, query: Query, joins,
+                       class_idx: Tuple[int, ...]) -> Optional[Tuple[int, ...]]:
+        """Size classes from planner estimates × margin; None when any
+        class would exceed spec_max (incremental path is cheaper than
+        compiling huge speculative programs)."""
+        from ..planner.join_order import estimate_cardinalities
+
+        ests = estimate_cardinalities(query, self.catalog, joins)
+        classes = []
+        for idx in class_idx:
+            est = max(int(ests[idx]), 1) * self.config.spec_margin
+            cls = size_class(est, self.config.min_pad)
+            if cls > self.config.spec_max:
+                return None
+            classes.append(cls)
+        return tuple(classes)
+
     def _static_plan(self, query: Query, use_planner: bool = True):
-        """Host-side static analysis: join order, referenced columns, and
-        the number of intermediate size classes the host must supply."""
+        """Host-side static analysis: join order, referenced columns, the
+        number of intermediate size classes the host must supply, and the
+        indices (into the join order) of the class-consuming joins."""
         joins = query.joins
         if use_planner and self._planner is not None and len(joins) > 1:
             joins = self._planner(query, self.catalog)
@@ -109,7 +219,7 @@ class CompiledEngine(JaxEngine):
             b = p.binding if isinstance(p, FilterPred) else p.binding1
             if find(b) is None:
                 comps.append({b})
-        n_classes = 0
+        class_idx: List[int] = []
         for idx, jp in enumerate(joins):
             cl, cr = find(jp.binding1), find(jp.binding2)
             if cl is not None and cl is cr:
@@ -124,7 +234,7 @@ class CompiledEngine(JaxEngine):
                 others = [c for c in comps if c is not cl and c is not cr]
                 if not others and {b for b, _ in query.views} <= merged:
                     break  # fused: no class needed
-            n_classes += 1
+            class_idx.append(idx)
             comps = [c for c in comps if c is not cl and c is not cr]
             comps.append(merged)
         else:
@@ -137,7 +247,7 @@ class CompiledEngine(JaxEngine):
                 raise _Fallback
 
         cols_used = sorted(self._columns_referenced(query, joins))
-        return joins, tuple(cols_used), n_classes
+        return joins, tuple(cols_used), len(class_idx), tuple(class_idx)
 
     def _columns_referenced(self, query: Query, joins) -> set:
         used = set()
@@ -161,12 +271,15 @@ class _Fallback(Exception):
 
 @partial(jax.jit,
          static_argnames=("query", "joins", "classes", "cols_used", "ns",
-                          "min_pad"))
+                          "min_pad", "fuse"))
 def _run_segments(query: Query, joins, classes, cols_used, ns,
-                  min_pad: int, cols):
+                  min_pad: int, fuse: bool, consts, cols):
     """Pure-functional replay of the executor up to the next unknown size
-    class.  Returns the next intermediate join's total (i64 scalar) when
-    `classes` is not yet complete, else the packed [1+V] u64 result."""
+    class.  `query` is a SKELETON (filter values = indices into the
+    runtime `consts` vector).  Returns the next intermediate join's total
+    (i64 scalar) when `classes` is not yet complete, else the packed
+    [len(classes) + 1 + V] u64 vector
+    [t_1..t_k, count, sum_0..sum_{V-1}]."""
     colmap = {rc: (cols[i], ns[i]) for i, rc in enumerate(cols_used)}
 
     def col_of(b, c):
@@ -191,11 +304,19 @@ def _run_segments(query: Query, joins, classes, cols_used, ns,
         pos, cnt = ops.mask_positions(mask, out_size=comp[1].shape[1])
         replace(comp, (comp[0], jnp.take(comp[1], pos, axis=1), cnt))
 
+    totals: List[jax.Array] = []  # actual intermediate-join cardinalities
+
+    def done(packed: jax.Array) -> jax.Array:
+        return jnp.concatenate(
+            [jnp.stack(totals).astype(jnp.uint64), packed]
+            if totals else [packed]
+        )
+
     # ---- filters & self-joins ----------------------------------------
     for pred in query.filters_and_selfjoins:
         if isinstance(pred, FilterPred):
             coldev, n_base = col_of(pred.binding, pred.column)
-            const = jnp.uint64(pred.value & _MASK64)
+            const = consts[pred.value]  # skeleton value = index
             comp = find(pred.binding)
             if comp is None:
                 mask = ops.compare_mask(coldev, jnp.int32(n_base), pred.op, const)
@@ -251,7 +372,7 @@ def _run_segments(query: Query, joins, classes, cols_used, ns,
         if comp_r is not None:
             merged |= set(comp_r[0])
         others = [c for c in components if c is not comp_l and c is not comp_r]
-        if last and not others and view_b <= merged:
+        if fuse and last and not others and view_b <= merged:
             # fused final join + checksums
             def side_of(b):
                 if comp_l is not None and b in comp_l[0]:
@@ -276,15 +397,16 @@ def _run_segments(query: Query, joins, classes, cols_used, ns,
             count, sums_b, sums_p = ops.join_checksum_fused(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
             )
-            return jnp.concatenate(
+            return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]
-            )
+            ))
 
         sorted_keys, perm = ops.join_build(keys_b, n_b)
         lo, cnt, ccum, total = ops.join_probe_count(sorted_keys, n_b,
                                                     keys_p, n_p)
         if class_idx >= len(classes):
             return total  # segment boundary: host picks the class
+        totals.append(total)
 
         P = classes[class_idx]
         class_idx += 1
@@ -310,4 +432,4 @@ def _run_segments(query: Query, joins, classes, cols_used, ns,
     for b, c in query.views:
         coldev, _ = col_of(b, c)
         parts.append(ops.checksum(coldev, row(comp, b), comp[2]).reshape(1))
-    return jnp.concatenate(parts)
+    return done(jnp.concatenate(parts))

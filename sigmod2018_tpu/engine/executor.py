@@ -84,11 +84,18 @@ class PendingResult:
         self.packed = packed
         self.num_views = num_views
 
-    def line(self) -> str:
-        arr = np.asarray(self.packed)
+    @property
+    def packed_len(self) -> int:
+        return 1 + self.num_views
+
+    def line_from(self, arr) -> str:
+        """Format from an already-fetched host copy of `packed`."""
         if int(arr[0]) == 0:
             return " ".join("NULL" for _ in range(self.num_views))
         return " ".join(str(int(v) & _MASK64) for v in arr[1:])
+
+    def line(self) -> str:
+        return self.line_from(np.asarray(self.packed))
 
 
 class IntermediateBlowup(RuntimeError):
@@ -120,18 +127,16 @@ def format_batch(results: Sequence) -> List[str]:
         flat = np.asarray(jnp.concatenate([r.packed for r in pend]))
         off = 0
         for r in pend:
-            r._fetched = flat[off:off + 1 + r.num_views]  # type: ignore
-            off += 1 + r.num_views
+            r._fetched = flat[off:off + r.packed_len]  # type: ignore
+            off += r.packed_len
     lines = []
     for r in results:
         if isinstance(r, str):
             lines.append(r)
         elif isinstance(r, PendingResult) and getattr(r, "_fetched", None) is not None:
-            arr = r._fetched  # type: ignore
-            if int(arr[0]) == 0:
-                lines.append(" ".join("NULL" for _ in range(r.num_views)))
-            else:
-                lines.append(" ".join(str(int(v) & _MASK64) for v in arr[1:]))
+            # Speculative results validate here and may re-dispatch
+            # (SpecResult.line_from) — still after the one flat fetch.
+            lines.append(r.line_from(r._fetched))  # type: ignore
         else:
             lines.append(r.line())
     return lines

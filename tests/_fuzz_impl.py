@@ -1,3 +1,8 @@
+"""Differential fuzz body: N random queries through every engine mode vs
+the NumPy oracle.  argv: [N] [SEED].  Used by tests/test_fuzz.py (CI) and
+tools/soak.py (chunked multi-process soak)."""
+import sys
+
 import numpy as np
 from sigmod2018_tpu.config import EngineConfig
 from sigmod2018_tpu.engine.compiled import CompiledEngine
@@ -6,7 +11,7 @@ from sigmod2018_tpu.engine.oracle import execute_query_numpy
 from sigmod2018_tpu.frontend.parser import parse_query
 from sigmod2018_tpu.storage.catalog import Catalog
 from sigmod2018_tpu.storage.relation import Relation
-rng = np.random.default_rng(99)
+rng = np.random.default_rng(int(sys.argv[2]) if len(sys.argv) > 2 else 99)
 rels = []
 for n in (500, 350, 200, 120, 80):
     cols = [rng.integers(0, 50, size=n).astype(np.uint64) for _ in range(3)]
@@ -14,9 +19,13 @@ for n in (500, 350, 200, 120, 80):
 cat = Catalog(rels)
 engines = [('compiled', CompiledEngine(cat, EngineConfig())),
            ('standard', JaxEngine(cat, EngineConfig())),
-           ('nofuse', JaxEngine(cat, EngineConfig(fuse_final_join=False)))]
+           ('nofuse', JaxEngine(cat, EngineConfig(fuse_final_join=False))),
+           ('compiled-nofuse',
+            CompiledEngine(cat, EngineConfig(fuse_final_join=False))),
+           ('compiled-nospec',
+            CompiledEngine(cat, EngineConfig(speculate=False)))]
 fails = 0
-N = int(__import__('sys').argv[1]) if len(__import__('sys').argv) > 1 else 200
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 for trial in range(N):
     nrel = int(rng.integers(1, 5))
     bindings = list(rng.integers(0, 5, size=nrel))
@@ -44,4 +53,4 @@ for trial in range(N):
         if got != want:
             fails += 1
             print('FAIL', name, qt, 'got', got, 'want', want)
-print(f'{N} queries x 3 engines: {fails} failures')
+print(f'{N} queries x {len(engines)} engines: {fails} failures')

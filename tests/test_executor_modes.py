@@ -50,6 +50,19 @@ def test_fused_matches_oracle(rand_catalog, fuse):
         assert eng.execute(q) == execute_query_numpy(q, rand_catalog), (qtext, fuse)
 
 
+@pytest.mark.parametrize("fuse", [True, False])
+def test_compiled_engine_fuse_modes(rand_catalog, fuse):
+    """S18_FUSE=0 with the compiled engine must produce real answers, not
+    silent NULLs (ADVICE r1: the fused branch ran unconditionally and the
+    host's int() on the packed vector raised, caught as a NULL line)."""
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    eng = CompiledEngine(rand_catalog, EngineConfig(fuse_final_join=fuse))
+    for qtext in QUERIES:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, rand_catalog), (qtext, fuse)
+
+
 def test_radix_join_algo_matches_oracle(rand_catalog):
     eng = JaxEngine(rand_catalog, EngineConfig(join_algo="radix", radix_bits=4))
     for qtext in QUERIES:

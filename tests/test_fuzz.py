@@ -15,4 +15,4 @@ def test_fuzz_30_queries():
         env={"S18_PLATFORM": "cpu", "PATH": "/usr/bin:/bin",
              "HOME": "/root", "PYTHONPATH": str(Path(__file__).parents[1])},
     )
-    assert "30 queries x 3 engines: 0 failures" in out.stdout, out.stdout[-2000:]
+    assert "30 queries x 5 engines: 0 failures" in out.stdout, out.stdout[-2000:]

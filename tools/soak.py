@@ -1,55 +1,44 @@
-"""Differential soak: N random queries through all three engines vs the
-NumPy oracle (chunk the runs across processes — each distinct query
-compiles a program, and hundreds of CPU compilations in one process
-exhaust host RAM).
+"""Differential soak driver: chunk N random queries across subprocesses
+running tests/_fuzz_impl.py (every engine mode vs the NumPy oracle).
 
-Usage: S18_PLATFORM=cpu python tools/soak.py [N] [SEED]
+Chunking matters twice over: each distinct query *skeleton* compiles a
+program, and hundreds of CPU compilations in one process grow host RAM;
+fresh processes also re-exercise the cold path.  Structure-keyed
+compilation (engine/compiled.py) collapses constant-only variants into
+one program, so chunks of a few hundred queries are safe.
+
+Usage: python tools/soak.py [N] [SEED] [CHUNK]
 """
+import subprocess
 import sys
-import numpy as np
-from sigmod2018_tpu.config import EngineConfig
-from sigmod2018_tpu.engine.compiled import CompiledEngine
-from sigmod2018_tpu.engine.executor import JaxEngine
-from sigmod2018_tpu.engine.oracle import execute_query_numpy
-from sigmod2018_tpu.frontend.parser import parse_query
-from sigmod2018_tpu.storage.catalog import Catalog
-from sigmod2018_tpu.storage.relation import Relation
-rng = np.random.default_rng(int(sys.argv[2]) if len(sys.argv) > 2 else 99)
-rels = []
-for n in (500, 350, 200, 120, 80):
-    cols = [rng.integers(0, 50, size=n).astype(np.uint64) for _ in range(3)]
-    rels.append(Relation(columns=cols))
-cat = Catalog(rels)
-engines = [('compiled', CompiledEngine(cat, EngineConfig())),
-           ('standard', JaxEngine(cat, EngineConfig())),
-           ('nofuse', JaxEngine(cat, EngineConfig(fuse_final_join=False)))]
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 99
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 150
+
 fails = 0
-N = int(__import__('sys').argv[1]) if len(__import__('sys').argv) > 1 else 200
-for trial in range(N):
-    nrel = int(rng.integers(1, 5))
-    bindings = list(rng.integers(0, 5, size=nrel))
-    preds = []
-    for b in range(1, nrel):
-        preds.append(f'{b-1}.{rng.integers(0,3)}={b}.{rng.integers(0,3)}')
-    if rng.random() < 0.3 and nrel >= 2:
-        a, b2 = sorted(rng.choice(nrel, size=2, replace=False))
-        preds.append(f'{a}.{rng.integers(0,3)}={b2}.{rng.integers(0,3)}')
-    if rng.random() < 0.3:
-        b3 = int(rng.integers(0, nrel))
-        preds.append(f'{b3}.{rng.integers(0,3)}={b3}.{rng.integers(0,3)}')
-    if rng.random() < 0.7:
-        op = rng.choice(['<','>','='])
-        preds.append(f'{rng.integers(0,nrel)}.{rng.integers(0,3)}{op}{rng.integers(0, 60)}')
-    if not preds:
-        preds.append(f'0.0>{rng.integers(0,50)}')
-    views = ' '.join(f'{rng.integers(0, nrel)}.{rng.integers(0, 3)}'
-                     for _ in range(int(rng.integers(1, 4))))
-    qt = f"{' '.join(map(str, bindings))}|{'&'.join(preds)}|{views}"
-    q = parse_query(qt)
-    want = execute_query_numpy(q, cat)
-    for name, eng in engines:
-        got = eng.execute(q)
-        if got != want:
-            fails += 1
-            print('FAIL', name, qt, 'got', got, 'want', want)
-print(f'{N} queries x 3 engines: {fails} failures')
+done = 0
+chunk_i = 0
+while done < N:
+    n = min(CHUNK, N - done)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tests" / "_fuzz_impl.py"),
+         str(n), str(SEED + chunk_i)],
+        capture_output=True, text=True, timeout=3600,
+        env={"S18_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root",
+             "PYTHONPATH": str(REPO)},
+    )
+    tail = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    print(f"chunk {chunk_i} (seed {SEED + chunk_i}): {tail}")
+    if "0 failures" not in tail:
+        fails += 1
+        print(out.stdout[-3000:])
+        print(out.stderr[-2000:], file=sys.stderr)
+    done += n
+    chunk_i += 1
+
+print(f"soak: {done} queries in {chunk_i} chunks, "
+      f"{'OK' if fails == 0 else f'{fails} FAILING CHUNKS'}")
+sys.exit(1 if fails else 0)
