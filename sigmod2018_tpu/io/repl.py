@@ -48,9 +48,14 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         from concurrent.futures import ThreadPoolExecutor
 
         if config.mesh_devices > 1:
-            from ..parallel.dist_engine import DistJaxEngine
+            if config.compile_queries and not config.trace:
+                from ..parallel.dist_compiled import DistCompiledEngine
 
-            engine = DistJaxEngine(catalog, config)
+                engine = DistCompiledEngine(catalog, config)
+            else:
+                from ..parallel.dist_engine import DistJaxEngine
+
+                engine = DistJaxEngine(catalog, config)
         elif config.compile_queries and not config.trace:
             from ..engine.compiled import CompiledEngine
 
