@@ -80,6 +80,8 @@ class DistSpecResult(SpecResult):
         k = len(self.classes)
         totals = [int(t) for t in arr[:k]]
         lmax = [int(m) for m in arr[k:2 * k]]
+        if self.record is not None:
+            self.record(tuple(lmax))  # learn per-chip caps, not globals
         if any(m > c for m, c in zip(lmax, self.classes)) or (
             0 < self.max_intermediate < max(totals, default=0)
         ):
@@ -130,7 +132,10 @@ class DistCompiledEngine(CompiledEngine):
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
 
         if n_classes and guard and self.config.speculate:
-            classes = self._guess_classes(query, joins, class_idx)
+            learned = self._learned(query)
+            classes = (learned if learned is not None
+                       and len(learned) == n_classes
+                       else self._guess_classes(query, joins, class_idx))
             if classes is not None:
                 fn = self._spmd_program(skel, joins, classes, cols_used, ns)
                 out = fn(jnp.asarray(consts), *cols)
@@ -146,7 +151,9 @@ class DistCompiledEngine(CompiledEngine):
 
                 return DistSpecResult(out, len(query.views), classes,
                                       self.config.max_intermediate if guard
-                                      else 0, retry)
+                                      else 0, retry,
+                                      record=self._make_recorder(query,
+                                                                 n_classes))
         return self._run_incremental_spmd(query, skel, joins, cols_used, ns,
                                           consts, cols, n_classes, guard)
 
@@ -175,6 +182,9 @@ class DistCompiledEngine(CompiledEngine):
             fn = self._spmd_program(skel, joins, classes, cols_used, ns)
             out = fn(jnp.asarray(consts), *cols)
             if len(classes) == n_classes:
+                if classes and guard:
+                    self.__dict__.setdefault("_learned_classes", {})[
+                        query.text] = classes
                 return DistSpecResult(out, len(query.views), classes, 0,
                                       retry=lambda: "")
             arr = np.asarray(out)  # [g_total, l_max] — one sync per join
