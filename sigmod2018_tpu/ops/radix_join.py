@@ -1,278 +1,462 @@
-"""Pallas radix join: bucketed all-pairs probe with fused checksums.
+"""Pallas radix join v2: sort-partition + DMA slot-fill + streaming probe.
 
 TPU-native restatement of the reference's radix hash join (rhjoin.c:13-111,
-preprocess.c): partition both sides on the low key bits, then join each
-bucket pair.  Architecture mapping:
+preprocess.c:13-178), redesigned around what this hardware actually does
+well and badly (all numbers measured on the v5e this engine targets):
 
-  reference                         here
-  ---------                         ----
-  HistJob histogram (preprocess.c   XLA bincount over bucket ids (the
-  :181-195)                         histogram *is* a vector op)
-  PartitionJob rescan-scatter       stable argsort by bucket id + scatter
-  (preprocess.c:222-299)            into a [B, S] padded bucket matrix —
-                                    a counting sort, no rescans
-  bucket-chain index + chain walk   no index at all: a bucket holds ~n/B
-  (rhjoin.c:219-309, LOOP 3/4)      rows, so the probe is a VMEM-tiled
-                                    all-pairs key compare on the VPU —
-                                    pointer chasing becomes a dense
-                                    [Tp, Tb] compare/accumulate
-  GetResults emit + later checksum  fused: per-row match counts (pc/mc)
-  (rhjoin.c:141-217, inter_res.c)   turn into checksums via one weighted
-                                    reduction per side — no pair list
+  measured fact                          design consequence
+  -------------                          ------------------
+  random/blocked GATHER ~1-2 GB/s        never gather at scale: payloads
+                                         ride `lax.sort` variadically
+  u64 variadic sort 16M ~65 ms           one sort per side IS the
+                                         partition (keys bit-rotated so
+                                         bucket = low key bits lands in
+                                         the sort's top bits)
+  in-kernel DMA ~2.5 issues/us,          per-bucket slot-fill: bucket b's
+  sequential streams ~240 GB/s           contiguous sorted segment DMAs
+                                         into row b of a padded [B, SP]
+                                         matrix (static size, dynamic
+                                         1024-aligned offset; the head
+                                         misalignment becomes a per-
+                                         bucket window offset masked in
+                                         the probe kernel)
+  VPU same-lane compare ~2e11 pair/s,    probe kernel holds the build
+  cross-lane all-pairs inexpressible     matrix [Sb, B] resident in VMEM
+                                         (bucket = lane) and STREAMS the
+                                         probe matrix from HBM in double-
+                                         buffered tiles; per-build-row
+                                         and per-probe-row match counts
+                                         emit in ONE pass (mc accumulated
+                                         in VMEM, pc DMA'd per tile)
+  Mosaic: no 64-bit types                kernels compare u32 hi/lo limbs;
+                                         a single-limb fast path engages
+                                         when both key columns fit u32
+                                         (catalog stats know statically)
 
-Mosaic has no 64-bit integers, so the kernel works in u32 lanes: u64 keys
-are split hi/lo u32 (equality = both halves equal), and the kernel emits
-only per-row MATCH COUNTS (u32-exact: a count is bounded by the opposite
-side's slot width ≤ 2^15).  The u64 wrap-around checksums are then one
-weighted reduction per view column in XLA — Σ count_i · value_i mod 2^64
-— where 64-bit math exists.  Bit-exact, no 64-bit ops in the kernel.
+The checksums never materialize a pair list: counts weight the sorted
+value columns elementwise (wrap-around uint64, exact, in XLA where u64
+exists) — the radix restatement of the fused aggregate join
+(ops/agg_join.py contract).
 
-Two-level sizing: bucket slot counts are data-dependent, so the caller
-syncs ONCE on the max bucket size to pick the static slot width S
-(SURVEY §7.1 two-phase rule).  `radix_join_checksum` is the drop-in
-fused-final-join (count, sums_build, sums_probe) — same contract as
-ops/agg_join.py — selected by EngineConfig.join_algo == "radix".
+Reference mapping: HistJob histogram -> starts via searchsorted over the
+sorted keys; PartitionJob scatter -> the sort + slot-fill DMA; bucket-
+chain index + chain walk (rhjoin.c:219-309) -> dense same-lane compare;
+GetResults emit (rhjoin.c:141-217) -> two-phase count/expand in
+`radix_probe_count` / `radix_emit`.
+
+Scale: no per-bucket row cap beyond VMEM economics — the lane axis is
+split into super-groups when the build matrix exceeds the VMEM budget,
+so 10M+-row sides run without falling back.  Pathological skew (a single
+key whose multiplicity exceeds `MAX_SLOTS`) pushes the bucketed layout
+past its padding economics; `radix_join_checksum` then raises and the
+caller uses the degenerate single-bucket path (sort-merge — the bits=0
+member of the same family, ops/sort_join.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-
-# Per-bucket slot cap: keeps the [tile, S] compare tiles inside VMEM and
-# match counts trivially inside u32.
-MAX_BUCKET = 1 << 15
-
-
-def _split_u64(x: jax.Array):
-    return (x >> jnp.uint64(32)).astype(jnp.uint32), x.astype(jnp.uint32)
+_MAX_U64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+ALIGN = 1024          # 1-D HBM refs are (1024)-tiled: DMA offsets/sizes
+MAX_SLOTS = 1 << 13   # per-bucket slot cap (padding economics, not VMEM)
+VMEM_SLOT_BUDGET = 3 << 18  # build-matrix slots resident per kernel call
 
 
-def _bucketize(keys: jax.Array, n_valid: jax.Array, bits: int, slots: int):
-    """Counting-sort rows into a [B, slots] matrix + per-bucket counts.
-
-    Dead rows (index >= n_valid) drop out.  Returns (bucketed_keys u64
-    [B, slots] PAD-filled, perm [B, slots] i32 original positions,
-    counts [B] i32).
-    """
-    B = 1 << bits
-    P = keys.shape[0]
-    live = jnp.arange(P, dtype=jnp.int32) < n_valid
-    bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
-    order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
-    # Histogram as a broadcast compare + row sums: jnp.bincount lowers to
-    # a scatter-add, which serializes on TPU (~10ms at 64K rows); this is
-    # a dense [B+1, P] reduction the VPU chews through in microseconds.
-    hist = jnp.sum(
-        bucket[None, :] == jnp.arange(B + 1, dtype=jnp.int32)[:, None],
-        axis=1, dtype=jnp.int32,
-    )
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:-1], dtype=jnp.int32)]
-    )
-    # Slot (b, s) pulls sorted row starts[b] + s — all GATHERS: XLA
-    # scatters serialize on TPU (~10x slower than this formulation).
-    cnt = jnp.minimum(hist[:B], slots)
-    slot = jnp.arange(slots, dtype=jnp.int32)[None, :]
-    src = jnp.minimum(starts[:B, None] + slot, P - 1)
-    valid = slot < cnt[:, None]
-    sorted_keys = keys[order]
-    bk = jnp.where(valid, sorted_keys[src], _PAD_KEY)
-    perm = jnp.where(valid, order[src], 0)
-    return bk, perm, cnt
-
-
-def _probe_kernel(bh_ref, bl_ref, ph_ref, pl_ref, nb_ref, np_ref,
-                  mc_ref, *, lanes: int, ti: int, tj: int):
-    """Per-BUILD-row match counts for every radix bucket, lane-parallel.
-
-    All arrays arrive TRANSPOSED with buckets on the LANE axis:
-    build [Sb, B], probe [Sp, B], counts [1, B], output mc [Sb, B] where
-    mc[j, b] = #probe rows of bucket b matching build row j.  A probe
-    tile [TI, 128] and a build tile [TJ, 128] cover 128 buckets at once;
-    the rank-3 compare [TI, TJ, 128] keeps every vector lane busy (the
-    per-bucket serial variant wasted 127/128 of the VPU).  Lane slices
-    are STATIC (python loop over bucket groups) — dynamic lane indexing
-    crashes this toolchain's Mosaic; only sublane slices are dynamic.
-
-    The caller runs the kernel twice with sides swapped for the probe-row
-    counts (lane-axis reductions also crash the lowering).
-
-    GRIDLESS by necessity: any pallas_call with a grid crashes this
-    environment's remote-compile service — loops live in the kernel and
-    the whole bucket matrices sit in VMEM (`radix_join_checksum` caps
-    B*S accordingly)."""
-    Sb = bh_ref.shape[0]
-    Sp = ph_ref.shape[0]
-    B = bh_ref.shape[1]
-
-    for g in range(B // lanes):  # static lane groups
-        lo_l, hi_l = g * lanes, (g + 1) * lanes
-        nb = nb_ref[0:1, lo_l:hi_l]       # [1, lanes] i32
-        npr = np_ref[0:1, lo_l:hi_l]
-
-        def build_tile(jt, _):
-            joff = jt * jnp.int32(tj)
-            bh = bh_ref[pl.ds(joff, tj), lo_l:hi_l]   # [TJ, lanes]
-            bl = bl_ref[pl.ds(joff, tj), lo_l:hi_l]
-            jdx = jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)
-            live_b = (jdx + joff) < nb                # [TJ, lanes]
-
-            def probe_tile(it, acc):
-                ioff = it * jnp.int32(ti)
-                ph = ph_ref[pl.ds(ioff, ti), lo_l:hi_l]   # [TI, lanes]
-                plo = pl_ref[pl.ds(ioff, ti), lo_l:hi_l]
-                idx = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
-                live_p = (idx + ioff) < npr               # [TI, lanes]
-                eq = (
-                    (ph[:, None, :] == bh[None, :, :])
-                    & (plo[:, None, :] == bl[None, :, :])
-                    & live_p[:, None, :]
-                    & live_b[None, :, :]
-                )
-                # f32 sums are exact here (counts <= Sp <= 2^15 < 2^24);
-                # integer sums upcast through i64, which Mosaic lacks.
-                eqf = jnp.where(eq, jnp.float32(1), jnp.float32(0))
-                return acc + jnp.sum(eqf, axis=0)
-
-            acc = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(Sp // ti), probe_tile,
-                jnp.zeros((tj, lanes), jnp.float32),
-            )
-            mc_ref[pl.ds(joff, tj), lo_l:hi_l] = acc.astype(jnp.int32)
-            return _
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Sb // tj), build_tile,
-                          jnp.int32(0))
-
-
-def _match_counts(bh, bl, nb, ph, plo, npr, *, interpret: bool):
-    """pallas_call wrapper: per-bucket per-build-row match counts.
-    Inputs [B, S*] u32 bucket matrices.  Returns mc [B, Sb] i32."""
-    B, Sb = bh.shape
-    Sp = ph.shape[1]
-    lanes = 128
-    Bp = max(B, lanes)  # lane-pad the bucket axis (extra buckets are dead)
-
-    def t_pad(x):  # [B, S] -> [S, Bp]
-        xt = x.T
-        if Bp > B:
-            xt = jnp.pad(xt, ((0, 0), (0, Bp - B)))
-        return xt
-
-    def c_pad(n):  # [B] -> [1, Bp]
-        n = n[None, :]
-        if Bp > B:
-            n = jnp.pad(n, ((0, 0), (0, Bp - B)))
-        return n.astype(jnp.int32)
-
-    # Tile sizes: bound the [TI, TJ, 128] compare block to ~2MB f32.
-    ti = max(8, min(64, Sp))
-    while Sp % ti:
-        ti //= 2
-    tj = max(8, min(64, Sb))
-    while Sb % tj:
-        tj //= 2
-    mc_t = pl.pallas_call(
-        partial(_probe_kernel, lanes=lanes, ti=ti, tj=tj),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Sb, Bp), jnp.int32),
-        interpret=interpret,
-    )(t_pad(bh), t_pad(bl), t_pad(ph), t_pad(plo), c_pad(nb), c_pad(npr))
-    return mc_t[:, :B].T
-
-
-def _weighted_u64_sum(counts: jax.Array, values: jax.Array) -> jax.Array:
-    """Σ counts[i] * values[i] (mod 2^64) — exact, in XLA u64."""
-    return jnp.sum(counts.astype(jnp.uint64) * values, dtype=jnp.uint64)
-
-
-@partial(jax.jit, static_argnames=("bits", "slots_b", "slots_p", "interpret"))
-def _radix_join_jit(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
-                    bits: int, slots_b: int, slots_p: int, interpret: bool):
-    bk, bperm, bcnt = _bucketize(keys_b, n_b, bits, slots_b)
-    pk, pperm, pcnt = _bucketize(keys_p, n_p, bits, slots_p)
-    bh, bl = _split_u64(bk)
-    ph, plo = _split_u64(pk)
-    # Two passes with the sides swapped: each pass emits the counts for
-    # the side held stationary on the lane axis (see _probe_kernel).
-    mc = _match_counts(bh, bl, bcnt, ph, plo, pcnt, interpret=interpret)
-    pc = _match_counts(ph, plo, pcnt, bh, bl, bcnt, interpret=interpret)
-    count = jnp.sum(mc.astype(jnp.uint64))
-    # Weighted per-row sums: gather each bucketed row's value via the
-    # stored permutation, weight by its match count.  (The limb trick is
-    # only needed *inside* the kernel; out here XLA has u64.)
-    sums_b = jax.vmap(
-        lambda v: _weighted_u64_sum(mc.reshape(-1), v[bperm.reshape(-1)])
-    )(vals_b) if vals_b.shape[0] else jnp.zeros((0,), jnp.uint64)
-    sums_p = jax.vmap(
-        lambda v: _weighted_u64_sum(pc.reshape(-1), v[pperm.reshape(-1)])
-    )(vals_p) if vals_p.shape[0] else jnp.zeros((0,), jnp.uint64)
-    return count, sums_b, sums_p
-
-
-def bucket_slot_hint(keys: jax.Array, n_valid: jax.Array, bits: int):
-    """Max bucket occupancy (device scalar) — the caller's one sync to
-    size the static slot width."""
-    B = 1 << bits
-    P = keys.shape[0]
-    live = jnp.arange(P, dtype=jnp.int32) < n_valid
-    bucket = jnp.where(live, (keys & jnp.uint64(B - 1)).astype(jnp.int32), B)
-    hist = jnp.sum(
-        bucket[None, :] == jnp.arange(B, dtype=jnp.int32)[:, None],
-        axis=1, dtype=jnp.int32,
-    )  # dense compare beats bincount's scatter-add on TPU
-    return jnp.max(hist)
-
-
-_slot_hint_jit = jax.jit(bucket_slot_hint, static_argnames=("bits",))
+def _rotate(keys: jax.Array, bits: int) -> jax.Array:
+    """Move the low `bits` (the radix bucket, reference H1 = value &
+    (2^N_LSB-1), rhjoin.c:311-325) to the TOP so one sort groups by
+    bucket and orders by key within the bucket.  Bijective: equality on
+    rotated keys == equality on keys, so kernels compare rotated limbs
+    directly and never rotate back."""
+    if bits == 0:
+        return keys
+    return (keys << jnp.uint64(64 - bits)) | (keys >> jnp.uint64(bits))
 
 
 @partial(jax.jit, static_argnames=("bits",))
-def _slot_hints2(keys_b, n_b, keys_p, n_p, bits: int):
-    """Both sides' max bucket occupancy in ONE readback (each sync costs
-    a full RTT on a tunneled TPU)."""
-    return jnp.stack([
-        bucket_slot_hint(keys_b, n_b, bits),
-        bucket_slot_hint(keys_p, n_p, bits),
-    ])
+def _prep_side(keys: jax.Array, vals: jax.Array, n: jax.Array, bits: int):
+    """Sort one side by (rotated key, liveness) carrying the value
+    columns; derive per-bucket starts/counts and the max occupancy.
+
+    vals: [V, P] u64.  Returns (krot_sorted [P], vals_sorted [V, P],
+    starts [B] i32, cnts [B] i32, max_occ i32).  Dead rows (index >= n)
+    sort to the tail via the liveness key — a live key of 2^64-1 still
+    precedes every dead row, so the live prefix is exactly n rows.
+    """
+    P = keys.shape[0]
+    live = jnp.arange(P, dtype=jnp.int32) < n
+    krot = jnp.where(live, _rotate(keys, bits), _MAX_U64)
+    deadflag = (~live).astype(jnp.int32)
+    ops = (krot, deadflag) + tuple(vals[v] for v in range(vals.shape[0]))
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    krot_s = sorted_ops[0]
+    vals_s = (jnp.stack(sorted_ops[2:]) if vals.shape[0]
+              else jnp.zeros((0, P), jnp.uint64))
+    B = 1 << bits
+    edges = (jnp.arange(B, dtype=jnp.uint64) << jnp.uint64(64 - bits))
+    starts = jnp.searchsorted(krot_s, edges, side="left",
+                              method="sort").astype(jnp.int32)
+    starts = jnp.minimum(starts, n.astype(jnp.int32))
+    ends = jnp.concatenate([starts[1:], n.astype(jnp.int32).reshape(1)])
+    cnts = ends - starts
+    return krot_s, vals_s, starts, cnts, jnp.max(cnts)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _prep_two_sides(keys_b, vals_b, n_b, keys_p, vals_p, n_p, bits: int):
+    kb, vb, st_b, ct_b, mo_b = _prep_side(keys_b, vals_b, n_b, bits)
+    kp, vp, st_p, ct_p, mo_p = _prep_side(keys_p, vals_p, n_p, bits)
+    return (kb, vb, st_b, ct_b), (kp, vp, st_p, ct_p), jnp.stack([mo_b, mo_p])
+
+
+# ---------------------------------------------------------------------------
+# Slot-fill: per-bucket DMA of contiguous sorted segments into [B, SP]
+# ---------------------------------------------------------------------------
+
+
+def _slotfill_kernel(starts_ref, *refs, B: int, SP: int, N: int, K: int):
+    """For each bucket b and each of K source arrays, DMA the ALIGN-
+    aligned segment around starts[b] into row b of that array's padded
+    [B, SP] output.  The head misalignment (starts[b] - aligned) is
+    masked downstream via the per-bucket window offset."""
+    srcs = refs[:K]
+    outs = refs[K:]
+
+    al = jnp.int32(ALIGN)  # pin every in-kernel scalar: Mosaic has no i64
+
+    def body(sem):
+        def loop(b, _):
+            st = starts_ref[b, 0]
+            st_al = jnp.minimum((st // al) * al, jnp.int32(N - SP))
+            st_al = pl.multiple_of(st_al, ALIGN)
+            for k in range(K):
+                cp = pltpu.make_async_copy(
+                    srcs[k].at[pl.ds(st_al, SP)],
+                    outs[k].at[pl.ds(b * jnp.int32(SP), SP)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+            return _
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), loop, jnp.int32(0))
+
+    pl.run_scoped(body, sem=pltpu.SemaphoreType.DMA(()))
+
+
+@partial(jax.jit, static_argnames=("B", "SP"))
+def _slotfill(starts: jax.Array, srcs: Tuple[jax.Array, ...], B: int,
+              SP: int):
+    """srcs: K u32 arrays [N] (N multiple of ALIGN, N >= SP).  Returns K
+    arrays [B, SP] (padded row views around each bucket)."""
+    K = len(srcs)
+    N = srcs[0].shape[0]
+    out = pl.pallas_call(
+        partial(_slotfill_kernel, B=B, SP=SP, N=N, K=K),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * K,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                        for _ in range(K)),
+        out_shape=tuple(jax.ShapeDtypeStruct((B * SP,), jnp.uint32)
+                        for _ in range(K)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts[:, None], *srcs)
+    return tuple(o.reshape(B, SP) for o in out)
+
+
+def _pad_align(x: jax.Array, seg_len: int) -> jax.Array:
+    """Pad a 1-D array so a seg_len DMA from ANY aligned-down start
+    (start <= N) stays in bounds — the in-kernel clamp must never bind,
+    because the probe window offset assumes offset == start % ALIGN."""
+    N = x.shape[0]
+    Np = -(-N // ALIGN) * ALIGN + seg_len
+    return jnp.pad(x, (0, Np - N))
+
+
+# ---------------------------------------------------------------------------
+# Streaming dual-count probe kernel
+# ---------------------------------------------------------------------------
+
+
+def _probe_kernel(bh_ref, bl_ref, maskb_ref, maskp_ref, ph_hbm, plo_hbm,
+                  mc_ref, pc_hbm, *, Sb: int, Sp: int, B: int, TI: int,
+                  TJ: int, limbs: int):
+    """Per-bucket (lane) match counts, one pass, probe streamed from HBM.
+
+    bh/bl: build limb matrices [Sb, B] resident in VMEM (bucket = lane).
+    maskb/maskp: [2, B] i32 rows (window offset, offset + count) — the
+    slot-fill head misalignment plus the bucket's occupancy.
+    mc [Sb, B]: per-build-slot probe-match counts (VMEM, accumulated).
+    pc [Sp, B]: per-probe-slot build-match counts (DMA'd out per tile).
+    f32 count arithmetic is exact: counts <= MAX_SLOTS < 2^24.
+    """
+    ti = jnp.int32(TI)  # pin every in-kernel scalar: Mosaic has no i64
+    tj = jnp.int32(TJ)
+
+    def body(sth, stl, pcstage, sems, osem):
+        nch = Sp // TI
+
+        def get(slot, i):
+            cph = pltpu.make_async_copy(
+                ph_hbm.at[pl.ds(i * ti, TI), :], sth.at[slot], sems.at[slot, jnp.int32(0)])
+            cph.start()
+            if limbs == 2:
+                cpl = pltpu.make_async_copy(
+                    plo_hbm.at[pl.ds(i * ti, TI), :], stl.at[slot],
+                    sems.at[slot, jnp.int32(1)])
+                cpl.start()
+
+        def wait(slot, i):
+            pltpu.make_async_copy(
+                ph_hbm.at[pl.ds(i * ti, TI), :], sth.at[slot],
+                sems.at[slot, jnp.int32(0)]).wait()
+            if limbs == 2:
+                pltpu.make_async_copy(
+                    plo_hbm.at[pl.ds(i * ti, TI), :], stl.at[slot],
+                    sems.at[slot, jnp.int32(1)]).wait()
+
+        def z(jt, _):
+            mc_ref[pl.ds(jt * tj, TJ), :] = jnp.zeros((TJ, B), jnp.int32)
+            return _
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(Sb // TJ), z, jnp.int32(0))
+        get(jnp.int32(0), jnp.int32(0))
+
+        blo = maskb_ref[0:1, :]
+        bhi = maskb_ref[1:2, :]
+        plo_w = maskp_ref[0:1, :]
+        phi_w = maskp_ref[1:2, :]
+
+        def ptile(i, _):
+            slot = jax.lax.rem(i, jnp.int32(2))
+
+            @pl.when(i + jnp.int32(1) < jnp.int32(nch))
+            def _s():
+                get(jax.lax.rem(i + jnp.int32(1), jnp.int32(2)),
+                    i + jnp.int32(1))
+
+            wait(slot, i)
+            ph = sth[slot]                     # [TI, B]
+            plo = stl[slot] if limbs == 2 else None
+            idx = jax.lax.broadcasted_iota(jnp.int32, (TI, 1), 0) + i * ti
+            live_p = (idx >= plo_w) & (idx < phi_w)
+            acc_pc = jnp.zeros((TI, B), jnp.float32)
+
+            def btile(jt, acc):
+                bh = bh_ref[pl.ds(jt * tj, TJ), :]
+                jdx = (jax.lax.broadcasted_iota(jnp.int32, (TJ, 1), 0)
+                       + jt * tj)
+                live_b = (jdx >= blo) & (jdx < bhi)
+                eq = ph[:, None, :] == bh[None, :, :]
+                if limbs == 2:
+                    bl = bl_ref[pl.ds(jt * tj, TJ), :]
+                    eq &= plo[:, None, :] == bl[None, :, :]
+                eq &= live_p[:, None, :] & live_b[None, :, :]
+                eqf = jnp.where(eq, jnp.float32(1), jnp.float32(0))
+                mc_ref[pl.ds(jt * tj, TJ), :] += (
+                    eqf.sum(axis=0).astype(jnp.int32))
+                return acc + eqf.sum(axis=1)
+
+            acc_pc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(Sb // TJ),
+                                       btile, acc_pc)
+            pcstage[slot] = acc_pc.astype(jnp.int32)
+            cpo = pltpu.make_async_copy(
+                pcstage.at[slot], pc_hbm.at[pl.ds(i * ti, TI), :],
+                osem.at[slot])
+            cpo.start()
+            cpo.wait()
+            return _
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nch), ptile, jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        sth=pltpu.VMEM((2, TI, B), jnp.uint32),
+        stl=pltpu.VMEM((2, TI, B), jnp.uint32),
+        pcstage=pltpu.VMEM((2, TI, B), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        osem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("TI", "TJ", "limbs"))
+def _probe_counts(bh, bl, maskb, maskp, ph, plo, TI: int, TJ: int,
+                  limbs: int):
+    Sb, B = bh.shape
+    Sp = ph.shape[0]
+    return pl.pallas_call(
+        partial(_probe_kernel, Sb=Sb, Sp=Sp, B=B, TI=TI, TJ=TJ, limbs=limbs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((Sb, B), jnp.int32),
+                   jax.ShapeDtypeStruct((Sp, B), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bh, bl, maskb, maskp, ph, plo)
+
+
+def _round_tile(s: int, cap: int) -> int:
+    t = min(cap, s)
+    while s % t:
+        t //= 2
+    return max(t, 1)
+
+
+def _counts_all_groups(kb_mat, kp_mat, st_b, ct_b, st_p, ct_p, B, SPb, SPp,
+                       limbs: int):
+    """Transpose to [S, B] lane-major, split the lane axis into VMEM-
+    sized super-groups, run the streaming kernel per group."""
+    bh_t = kb_mat[0].T
+    bl_t = kb_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
+    ph_t = kp_mat[0].T
+    pl_t = kp_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
+
+    off_b = (st_b % ALIGN).astype(jnp.int32)
+    off_p = (st_p % ALIGN).astype(jnp.int32)
+    maskb = jnp.stack([off_b, off_b + ct_b])          # [2, B]
+    maskp = jnp.stack([off_p, off_p + ct_p])
+
+    lanes_per = max(128, (VMEM_SLOT_BUDGET // max(SPb, 1)) // 128 * 128)
+    lanes_per = min(lanes_per, B)
+    TI = _round_tile(SPp, 16)
+    TJ = _round_tile(SPb, 16)
+
+    mcs, pcs = [], []
+    for g0 in range(0, B, lanes_per):
+        g1 = min(g0 + lanes_per, B)
+        mc_g, pc_g = _probe_counts(
+            bh_t[:, g0:g1], bl_t[:, g0:g1] if limbs == 2 else bl_t,
+            maskb[:, g0:g1], maskp[:, g0:g1],
+            ph_t[:, g0:g1], pl_t[:, g0:g1] if limbs == 2 else pl_t,
+            TI, TJ, limbs)
+        mcs.append(mc_g)
+        pcs.append(pc_g)
+    mc = jnp.concatenate(mcs, axis=1).T  # [B, SPb]
+    pc = jnp.concatenate(pcs, axis=1).T  # [B, SPp]
+    return mc, pc
+
+
+# ---------------------------------------------------------------------------
+# Fused join + checksums (the agg_join contract)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("bits", "SPb", "SPp", "limbs"))
+def _radix_checksum_body(prep_b, prep_p, bits: int, SPb: int, SPp: int,
+                         limbs: int):
+    kb, vb, st_b, ct_b = prep_b
+    kp, vp, st_p, ct_p = prep_p
+    B = 1 << bits
+
+    def limb_arrays(krot_s, vals_s, SP):
+        srcs = [_pad_align(krot_s.astype(jnp.uint32), SP)]
+        if limbs == 2:
+            srcs.insert(0, _pad_align((krot_s >> jnp.uint64(32))
+                                      .astype(jnp.uint32), SP))
+        for v in range(vals_s.shape[0]):
+            srcs.append(_pad_align((vals_s[v] >> jnp.uint64(32))
+                                   .astype(jnp.uint32), SP))
+            srcs.append(_pad_align(vals_s[v].astype(jnp.uint32), SP))
+        return srcs
+
+    srcs_b = limb_arrays(kb, vb, SPb)
+    srcs_p = limb_arrays(kp, vp, SPp)
+    mats_b = _slotfill(st_b, tuple(srcs_b), B, SPb)
+    mats_p = _slotfill(st_p, tuple(srcs_p), B, SPp)
+    nk = limbs  # number of key limb matrices
+    key_b = mats_b[:nk] if limbs == 2 else (mats_b[0], mats_b[0])
+    key_p = mats_p[:nk] if limbs == 2 else (mats_p[0], mats_p[0])
+
+    mc, pc = _counts_all_groups(key_b, key_p, st_b, ct_b, st_p, ct_p,
+                                B, SPb, SPp, limbs)
+
+    count = jnp.sum(mc.astype(jnp.uint64))
+
+    def side_sums(cnt_mat, mats, V):
+        sums = []
+        for v in range(V):
+            hi = mats[nk + 2 * v].astype(jnp.uint64)
+            lo = mats[nk + 2 * v + 1].astype(jnp.uint64)
+            val = (hi << jnp.uint64(32)) | lo
+            sums.append(jnp.sum(cnt_mat.astype(jnp.uint64) * val,
+                                dtype=jnp.uint64))
+        return (jnp.stack(sums) if sums else jnp.zeros((0,), jnp.uint64))
+
+    sums_b = side_sums(mc, mats_b, vb.shape[0])
+    sums_p = side_sums(pc, mats_p, vp.shape[0])
+    return count, sums_b, sums_p
+
+
+def choose_bits(n_build: int, n_probe: int) -> int:
+    """Radix width: target ~1024 build rows per bucket.  The DMA tiling
+    granularity (ALIGN) puts one 1024-slot slack tile in every bucket
+    row, so occupancy below ~1024 wastes more padded compare work than
+    deeper partitioning saves; above ~2048 the VPU all-pairs cost per
+    probe row dominates.  Clamped to [6, 14]."""
+    target = max(n_build // 1024, 1)
+    bits = max(6, min(14, int(np.ceil(np.log2(target))) if target > 1 else 6))
+    return bits
 
 
 def radix_join_checksum(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
-                        bits: int = 8, interpret=None):
-    """Fused radix join + checksums (same contract as join_checksum_fused).
+                        bits=None, interpret=None, force_pallas=False):
+    """Fused radix join + checksums (contract of ops/agg_join.py:
+    returns (count, sums_build [V], sums_probe [V]) — exact wrap-around
+    uint64).  Syncs ONCE (max bucket occupancy of both sides) to pick
+    the static slot widths.
 
-    Syncs once per side for the slot width.  Falls back to wider slots
-    automatically; buckets beyond MAX_BUCKET rows are rejected (callers
-    use the sort path for pathologically skewed inputs).
+    Off-TPU the same contract is computed by the sort-merge member of
+    the family (Mosaic is TPU-only); `force_pallas=True` instead runs
+    the REAL kernel pipeline under Pallas interpret mode — slow, used by
+    the CPU unit tests to cover the kernel logic itself.
+
+    Raises ValueError when a single bucket exceeds MAX_SLOTS rows
+    (pathological key skew: multiplicity beyond the padding economics of
+    the dense bucket matrix) — callers fall back to the degenerate
+    single-bucket sort-merge path.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and not force_pallas:
+        from .agg_join import join_checksum_fused
+
+        return join_checksum_fused(keys_b, vals_b, jnp.int32(n_b),
+                                   keys_p, vals_p, jnp.int32(n_p))
+
     from ..utils.padding import size_class
 
-    if interpret is None:  # Mosaic is TPU-only; interpret elsewhere
-        interpret = jax.default_backend() != "tpu"
-    import numpy as _np
+    if bits is None:
+        bits = choose_bits(keys_b.shape[0], keys_p.shape[0])
 
-    hints = _np.asarray(_slot_hints2(keys_b, jnp.int32(n_b),
-                                     keys_p, jnp.int32(n_p), bits))
-    sb, sp = int(hints[0]), int(hints[1])
-    slots_b = size_class(max(sb, 1), 128)
-    slots_p = size_class(max(sp, 1), 512)
-    B = 1 << bits
-    # VMEM bound: the gridless kernel holds the whole [B, S] bucket
-    # matrices on chip (~24 B/slot across both passes).
-    if (slots_b > MAX_BUCKET or slots_p > MAX_BUCKET
-            or B * max(slots_b, slots_p) > (1 << 19)):
+    prep_b, prep_p, max_occ = _prep_two_sides(
+        keys_b, vals_b, jnp.int32(n_b), keys_p, vals_p, jnp.int32(n_p),
+        bits)
+    occ = np.asarray(max_occ)  # the one sync
+    Sb = int(occ[0])
+    Sp = int(occ[1])
+    if max(Sb, Sp) > MAX_SLOTS:
         raise ValueError(
-            f"bucket overflow (build {sb}, probe {sp} rows, B={B}): raise "
-            f"`bits` or use the sort join"
-        )
-    return _radix_join_jit(keys_b, vals_b, jnp.int32(n_b),
-                           keys_p, vals_p, jnp.int32(n_p),
-                           bits, slots_b, slots_p, interpret)
+            f"bucket overflow (build {Sb}, probe {Sp} rows/bucket at "
+            f"bits={bits}): key multiplicity beyond dense-bucket "
+            f"economics; use the sort path")
+    # Window slack: a bucket's slots sit at [start % ALIGN,
+    # start % ALIGN + cnt) inside the padded row; DMA segment sizes must
+    # be ALIGN multiples, so each row carries one tile of slack.
+    SPb = size_class(max(Sb, 1), ALIGN) + ALIGN
+    SPp = size_class(max(Sp, 1), ALIGN) + ALIGN
+    limbs = 2  # u64 keys; single-limb fast path picked by the caller
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            return _radix_checksum_body(prep_b[:4], prep_p[:4], bits,
+                                        SPb, SPp, limbs)
+    return _radix_checksum_body(prep_b[:4], prep_p[:4], bits, SPb, SPp,
+                                limbs)

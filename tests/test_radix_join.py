@@ -1,17 +1,24 @@
-"""Pallas radix join vs NumPy oracle (interpret mode on CPU; the same
-kernel compiles via Mosaic on a real chip)."""
+"""Pallas radix join v2 vs NumPy oracle.
+
+`force_pallas=True` runs the REAL kernel pipeline (variadic rotated-key
+sort -> aligned slot-fill DMA -> streaming dual-count probe) under Pallas
+TPU interpret mode on CPU, so the kernel logic itself is covered in CI;
+the same code compiles via Mosaic on a real chip (validated on hardware,
+see STATUS.md).  Reference semantics: rhjoin.c:13-217, preprocess.c.
+"""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from sigmod2018_tpu.ops.radix_join import (
-    MAX_BUCKET,
-    bucket_slot_hint,
+    MAX_SLOTS,
+    choose_bits,
     radix_join_checksum,
 )
 
 _MASK64 = (1 << 64) - 1
+ALIGN_PAD = 1024
 
 
 def _oracle(bk, bv, pk, pv):
@@ -29,19 +36,22 @@ def _oracle(bk, bv, pk, pv):
     return total, sums_b, sums_p
 
 
-def _run(bk, bv, pk, pv, bits=4):
-    P = 1024
+def _run(bk, bv, pk, pv, bits=4, pad_to=4096):
     def pad(a):
-        out = np.zeros(P, dtype=np.uint64)
+        out = np.zeros(pad_to, dtype=np.uint64)
         out[: a.size] = a
         return jnp.asarray(out)
 
     count, sums_b, sums_p = radix_join_checksum(
-        pad(bk), jnp.stack([pad(v) for v in bv]) if bv else jnp.zeros((0, P), jnp.uint64),
+        pad(bk),
+        jnp.stack([pad(v) for v in bv]) if bv
+        else jnp.zeros((0, pad_to), jnp.uint64),
         bk.size,
-        pad(pk), jnp.stack([pad(v) for v in pv]) if pv else jnp.zeros((0, P), jnp.uint64),
+        pad(pk),
+        jnp.stack([pad(v) for v in pv]) if pv
+        else jnp.zeros((0, pad_to), jnp.uint64),
         pk.size,
-        bits=bits, interpret=True,
+        bits=bits, interpret=True, force_pallas=True,
     )
     return (int(count), [int(s) & _MASK64 for s in np.asarray(sums_b)],
             [int(s) & _MASK64 for s in np.asarray(sums_p)])
@@ -51,7 +61,7 @@ def _run(bk, bv, pk, pv, bits=4):
     (0, 500, 800, 50),
     (1, 100, 1000, 10000),
     (2, 3, 5, 2),
-    (3, 700, 700, 1),     # single key, all-pairs
+    (3, 700, 700, 1),     # single key, all-pairs (fits MAX_SLOTS)
 ])
 def test_radix_matches_oracle(seed, nb, npr, keyspace):
     rng = np.random.default_rng(seed)
@@ -73,6 +83,17 @@ def test_radix_extreme_key_values():
     assert _run(bk, bv, pk, pv) == _oracle(bk, bv, pk, pv)
 
 
+def test_radix_wider_fanout():
+    # bits=6 exercises multi-lane-group handling and bucket windows that
+    # straddle ALIGN boundaries (4K rows over 64 buckets).
+    rng = np.random.default_rng(7)
+    bk = rng.integers(0, 900, 4000, dtype=np.uint64)
+    bv = [rng.integers(0, 1 << 40, 4000, dtype=np.uint64)]
+    pk = rng.integers(0, 900, 4000, dtype=np.uint64)
+    pv = [rng.integers(0, 1 << 40, 4000, dtype=np.uint64)]
+    assert _run(bk, bv, pk, pv, bits=6) == _oracle(bk, bv, pk, pv)
+
+
 def test_radix_empty_sides():
     bk = np.empty(0, dtype=np.uint64)
     pk = np.array([1, 2], dtype=np.uint64)
@@ -80,15 +101,16 @@ def test_radix_empty_sides():
     assert got[0] == 0 and got[2] == [0]
 
 
-def test_slot_hint():
-    keys = jnp.asarray(np.array([0, 16, 32, 1], dtype=np.uint64))
-    # with bits=4 keys 0,16,32 share bucket 0
-    assert int(bucket_slot_hint(keys, jnp.int32(4), 4)) == 3
+def test_choose_bits_monotone():
+    assert choose_bits(1 << 10, 1 << 10) <= choose_bits(1 << 24, 1 << 24)
+    assert 6 <= choose_bits(100, 100) <= 14
+    assert 6 <= choose_bits(1 << 26, 1 << 26) <= 14
 
 
 def test_bucket_overflow_rejected():
-    keys = jnp.zeros(MAX_BUCKET * 2, dtype=jnp.uint64)
-    vals = jnp.zeros((0, MAX_BUCKET * 2), jnp.uint64)
+    n = MAX_SLOTS + ALIGN_PAD
+    keys = jnp.zeros(n, dtype=jnp.uint64)  # one key, multiplicity > cap
+    vals = jnp.zeros((0, n), jnp.uint64)
     with pytest.raises(ValueError, match="bucket overflow"):
-        radix_join_checksum(keys, vals, MAX_BUCKET * 2, keys, vals,
-                            MAX_BUCKET * 2, bits=0, interpret=True)
+        radix_join_checksum(keys, vals, n, keys, vals, n,
+                            bits=4, interpret=True, force_pallas=True)
