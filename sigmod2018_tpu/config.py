@@ -20,11 +20,15 @@ class EngineConfig:
     # Minimum padded length for any device array (one TPU lane tile).
     min_pad: int = 128
 
-    # Radix bits for the Pallas radix-join path (reference N_LSB=4,
-    # structs.h:11).  Used only when use_radix_join is on.
+    # Radix bits for the direct radix_join_checksum API (reference
+    # N_LSB=4, structs.h:11).  The engine's auto path sizes its own bits
+    # from the input shapes (ops/radix_join.py::static_radix_plan).
     radix_bits: int = 4
-    # Join algorithm: "sort" (sort+searchsorted, default) or "radix".
-    join_algo: str = "sort"
+    # Fused-join member selection: "auto" (default — the Pallas radix
+    # kernel at scale on TPU, sort+searchsorted below the measured
+    # crossover; see ops/radix_join.py::fused_join_auto), "sort" or
+    # "radix" to force one member.
+    join_algo: str = "auto"
 
     # Join-order optimization via DP enumeration (reference best_tree.c).
     optimize_joins: bool = True

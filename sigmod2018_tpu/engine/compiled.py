@@ -161,7 +161,8 @@ class CompiledEngine(JaxEngine):
         skel, consts = _skeletonize(query)
         cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
-        args = (skel, joins, cols_used, ns, consts, cols)
+        key32 = tuple(self._key32(query, jp) for jp in joins)
+        args = (skel, joins, key32, cols_used, ns, consts, cols)
 
         if n_classes and guard and self.config.speculate:
             learned = self._learned(query)
@@ -169,10 +170,10 @@ class CompiledEngine(JaxEngine):
                        and len(learned) == n_classes
                        else self._guess_classes(query, joins, class_idx))
             if classes is not None:
-                out = _run_segments(skel, joins, classes, cols_used, ns,
-                                    self.config.min_pad,
+                out = _run_segments(skel, joins, key32, classes, cols_used,
+                                    ns, self.config.min_pad,
                                     self.config.fuse_final_join,
-                                    consts, cols)
+                                    self.config.join_algo, consts, cols)
 
                 def retry() -> str:
                     try:
@@ -189,15 +190,17 @@ class CompiledEngine(JaxEngine):
                                                              n_classes))
         return self._run_incremental(query, *args, guard=guard)
 
-    def _run_incremental(self, query: Query, skel, joins, cols_used, ns,
-                         consts, cols, guard: bool) -> Result:
+    def _run_incremental(self, query: Query, skel, joins, key32,
+                         cols_used, ns, consts, cols,
+                         guard: bool) -> Result:
         """Per-intermediate-join sync path: each segment's output total
         sizes the next static class (1 RTT per intermediate join)."""
         classes: Tuple[int, ...] = ()
         while True:
-            out = _run_segments(skel, joins, classes, cols_used, ns,
+            out = _run_segments(skel, joins, key32, classes, cols_used, ns,
                                 self.config.min_pad,
-                                self.config.fuse_final_join, consts, cols)
+                                self.config.fuse_final_join,
+                                self.config.join_algo, consts, cols)
             if out.ndim:  # complete: [totals..., count, sums...]
                 if classes and guard:
                     # the exact classes are now known — teach the
@@ -304,10 +307,10 @@ class _Fallback(Exception):
 
 
 @partial(jax.jit,
-         static_argnames=("query", "joins", "classes", "cols_used", "ns",
-                          "min_pad", "fuse"))
-def _run_segments(query: Query, joins, classes, cols_used, ns,
-                  min_pad: int, fuse: bool, consts, cols):
+         static_argnames=("query", "joins", "key32", "classes", "cols_used",
+                          "ns", "min_pad", "fuse", "algo"))
+def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
+                  min_pad: int, fuse: bool, algo: str, consts, cols):
     """Pure-functional replay of the executor up to the next unknown size
     class.  `query` is a SKELETON (filter values = indices into the
     runtime `consts` vector).  Returns the next intermediate join's total
@@ -428,8 +431,9 @@ def _run_segments(query: Query, joins, classes, cols_used, ns,
                 else:
                     brows.append(zb)
                     prows.append(vals)
-            count, sums_b, sums_p = ops.join_checksum_fused(
+            count, sums_b, sums_p = ops.fused_join_auto(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
+                algo=algo, key32=key32[idx],
             )
             return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]

@@ -456,27 +456,34 @@ class JaxEngine:
         packed = self._fused_join_packed(
             keys_b, jnp.stack(brows), _n32(n_b),
             keys_p, jnp.stack(prows), _n32(n_p),
+            key32=self._key32(query, jp),
         )
         return PendingResult(packed[: 1 + len(query.views)],
                              len(query.views))
 
+    def _key32(self, query, jp) -> bool:
+        """True when both join key columns are < 2^32 by catalog stats —
+        statically enables the radix kernel's single-limb fast path
+        (row-id gathers only shrink a column's value range)."""
+        stats = getattr(self.catalog, "stats", None)
+        if not stats:
+            return False
+        try:
+            u1 = stats[query.relations[jp.binding1]][jp.column1].u
+            u2 = stats[query.relations[jp.binding2]][jp.column2].u
+        except (IndexError, TypeError):
+            return False
+        return u1 < (1 << 32) and u2 < (1 << 32)
+
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols,
-                           n_p) -> jax.Array:
+                           n_p, key32: bool = False) -> jax.Array:
         """Fused final join + checksums -> packed [1 + V] device vector.
         Each view's values live on exactly one side (the other side's
-        zero column contributes 0 to both partial sums).  Overridden by
-        the mesh engine with the distributed shuffle join."""
-        fused = self._ops.join_checksum_fused
-        if self.config.join_algo == "radix":
-            from ..ops.radix_join import radix_join_checksum
-
-            def fused(kb, bc, nb, kp, pc, np_):
-                try:
-                    return radix_join_checksum(
-                        kb, bc, nb, kp, pc, np_,
-                        bits=self.config.radix_bits)
-                except ValueError:  # bucket overflow: fall back to sort
-                    return self._ops.join_checksum_fused(kb, bc, nb, kp, pc, np_)
-
-        count, sums_b, sums_p = fused(keys_b, bcols, n_b, keys_p, pcols, n_p)
+        zero column contributes 0 to both partial sums).  Size-dispatch
+        between the sort and Pallas-radix members of the join family is
+        inside fused_join_auto.  Overridden by the mesh engine with the
+        distributed shuffle join."""
+        count, sums_b, sums_p = self._ops.fused_join_auto(
+            keys_b, bcols, n_b, keys_p, pcols, n_p,
+            algo=self.config.join_algo, key32=key32)
         return jnp.concatenate([count.reshape(1), sums_b + sums_p])

