@@ -16,8 +16,14 @@ native:
 	python -c "import sigmod2018_tpu.storage.native as n; \
 	           print('native loader:', 'ok' if n._LIB is not None else 'UNAVAILABLE')"
 
+# The acceptance suite: unit/e2e tests plus a seeded differential soak
+# (3 chunks x 60 queries, one chunk on the 8-device virtual mesh).
 test:
 	python -m pytest tests/ -q
+	python tools/soak.py 180 1234 60
+
+soak:
+	python tools/soak.py 600 99 150
 
 harness: build/harness
 	./build/harness /root/reference/submission/workloads/small/small.init \

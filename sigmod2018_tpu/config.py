@@ -70,11 +70,18 @@ class EngineConfig:
 
     # Emit per-operator timings / chosen plans to stderr.
     explain: bool = False
-    trace: bool = False
+    # Tracing: False, True (aligned table) or "json" (one JSON object
+    # per query — machine-readable per-op device timings).
+    trace: object = False
 
     # Multi-chip: number of mesh devices to shard relations over
     # (1 = single chip; >1 requires that many JAX devices).
     mesh_devices: int = 1
+
+    # Cross-chip shuffle transport: "a2a" (XLA all_to_all, full
+    # fanout) or "ring" (ppermute neighbor hops — for meshes whose
+    # all_to_all exceeds ICI bisection; parallel/dist.py).
+    exchange: str = "a2a"
 
     # Distributed join strategy cutover: a build side whose padded
     # GLOBAL row count is at or below this broadcasts via all_gather
@@ -89,7 +96,7 @@ class EngineConfig:
 
         return EngineConfig(
             backend=_flag("S18_BACKEND", "jax"),
-            join_algo=_flag("S18_JOIN", "sort"),
+            join_algo=_flag("S18_JOIN", "auto"),
             radix_bits=int(_flag("S18_RADIX_BITS", "4")),
             optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
             fuse_final_join=_flag("S18_FUSE", "1") != "0",
@@ -100,9 +107,11 @@ class EngineConfig:
             batch_workers=int(_flag("S18_WORKERS", "8")),
             cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),
             explain=_flag("S18_EXPLAIN", "0") == "1",
-            trace=_flag("S18_TRACE", "0") == "1",
+            trace={"0": False, "1": True}.get(
+                _flag("S18_TRACE", "0"), _flag("S18_TRACE", "0")),
             mesh_devices=int(_flag("S18_MESH", "1")),
             bcast_threshold=int(_flag("S18_BCAST", "4096")),
+            exchange=_flag("S18_EXCHANGE", "a2a"),
         )
 
 

@@ -159,7 +159,8 @@ class JaxEngine:
         if config.trace:
             from .trace import TimedOps, Tracer
 
-            self._tracer = Tracer()
+            self._tracer = Tracer(
+                mode="json" if config.trace == "json" else "table")
             self._ops = TimedOps(ops, self._tracer)
 
     # ---- storage ---------------------------------------------------------

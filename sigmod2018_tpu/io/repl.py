@@ -48,6 +48,9 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         from concurrent.futures import ThreadPoolExecutor
 
         if config.mesh_devices > 1:
+            from ..parallel.multihost import init_distributed
+
+            init_distributed()  # no-op unless S18_COORD_ADDR is set
             if config.compile_queries and not config.trace:
                 from ..parallel.dist_compiled import DistCompiledEngine
 

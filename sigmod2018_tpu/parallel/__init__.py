@@ -6,6 +6,7 @@ a `jax.sharding.Mesh` — see dist.py for the design notes.
 
 from .dist import (
     AXIS,
+    exchange_multi,
     exchange,
     local_join_checksum,
     make_dist_checksum,
@@ -17,8 +18,14 @@ from .dist import (
     row_sharding,
 )
 
+from .multihost import flat_mesh_dcn_last, hier_mesh, init_distributed
+
 __all__ = [
     "AXIS",
+    "exchange_multi",
+    "flat_mesh_dcn_last",
+    "hier_mesh",
+    "init_distributed",
     "exchange",
     "local_join_checksum",
     "make_dist_checksum",

@@ -225,16 +225,44 @@ def partition_multi(keys: jax.Array, payloads, live: jax.Array,
     return send_keys, send_pay, counts
 
 
-def exchange_multi(send_keys: jax.Array, send_pays, counts: jax.Array):
-    """`exchange` for a tuple of payload buffers."""
+def _ring_all_to_all(x: jax.Array) -> jax.Array:
+    """all_to_all over the first axis, decomposed into ndev-1 `ppermute`
+    neighbor-distance hops (SURVEY §5 "long-axis" row: the ring
+    alternative for when the full-fanout all_to_all exceeds ICI
+    bisection — each hop k moves every chip's row for its distance-k
+    peer directly, so traffic per step is one [cap] row per chip and
+    the collective never concentrates on a single link).
+
+    Contract identical to `all_to_all(x, split_axis=0, concat_axis=0)`:
+    returned row s on chip d is row d of chip s's input."""
+    ndev = x.shape[0]
+    me = jax.lax.axis_index(AXIS)
+    out = jnp.zeros_like(x)
+    out = out.at[me].set(jnp.take(x, me, axis=0))
+    for k in range(1, ndev):
+        row = jnp.take(x, jnp.mod(me + k, ndev), axis=0)
+        perm = [(i, (i + k) % ndev) for i in range(ndev)]
+        got = jax.lax.ppermute(row, AXIS, perm)  # arrives from (me-k)%ndev
+        out = out.at[jnp.mod(me - k, ndev)].set(got)
+    return out
+
+
+def _transport(via: str):
+    if via == "ring":
+        return _ring_all_to_all
+    return partial(jax.lax.all_to_all, axis_name=AXIS, split_axis=0,
+                   concat_axis=0)
+
+
+def exchange_multi(send_keys: jax.Array, send_pays, counts: jax.Array,
+                   via: str = "a2a"):
+    """`exchange` for a tuple of payload buffers.  `via`: "a2a" (XLA
+    all_to_all, full fanout) or "ring" (ppermute hops, neighbor-only)."""
     ndev, cap = send_keys.shape
-    recv_keys = jax.lax.all_to_all(send_keys, AXIS, split_axis=0, concat_axis=0)
-    recv_pays = tuple(
-        jax.lax.all_to_all(p, AXIS, split_axis=0, concat_axis=0)
-        for p in send_pays
-    )
-    recv_cnt = jax.lax.all_to_all(counts[:, None], AXIS, split_axis=0,
-                                  concat_axis=0)[:, 0]
+    a2a = _transport(via)
+    recv_keys = a2a(send_keys)
+    recv_pays = tuple(a2a(p) for p in send_pays)
+    recv_cnt = a2a(counts[:, None])[:, 0]
     total = ndev * cap
     starts = _exclusive_cumsum(recv_cnt)
     slot = jnp.arange(cap, dtype=jnp.int32)[None, :]

@@ -393,8 +393,9 @@ class DistCompiledEngine(CompiledEngine):
                                                         kb.shape[0])
                     sk_p, sp_p, cnt_p = partition_multi(kp, pp, livep, ndev,
                                                         kp.shape[0])
-                    rkb, rpb, nb = exchange_multi(sk_b, sp_b, cnt_b)
-                    rkp, rpp, npr = exchange_multi(sk_p, sp_p, cnt_p)
+                    via = self.config.exchange
+                    rkb, rpb, nb = exchange_multi(sk_b, sp_b, cnt_b, via=via)
+                    rkp, rpp, npr = exchange_multi(sk_p, sp_p, cnt_p, via=via)
 
                 if fused:
                     # final join + checksums fused: multi-view local

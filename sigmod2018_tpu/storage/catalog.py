@@ -60,6 +60,84 @@ def compute_column_stats(col: np.ndarray, exact_distinct: bool = True) -> Column
     return ColumnStats(cmin, cmax, n, d, fmax, mode)
 
 
+# ---------------------------------------------------------------------------
+# Prep-artifact cache (SURVEY §5 checkpoint/resume row): the untimed prep
+# phase's expensive artifact is the per-column exact stats + MCV sketch.
+# Cache them on disk keyed by the init file list's identity (path basename
+# + size + mtime per file), so a re-serve of the same relation set skips
+# the full stats scan.  Relations themselves stay mmap'd (already lazy).
+# Stats feed only the planner, and staleness is guarded by the size+mtime
+# key — a stale hit can only happen if a file is rewritten bytes-and-
+# mtime-identically, in which case its stats are identical anyway.
+# Disable with S18_PREP_CACHE=0; S18_PREP_CACHE=<dir> relocates it.
+# ---------------------------------------------------------------------------
+
+_STAT_FIELDS = ("l", "u", "f", "d", "fmax", "mode")
+
+
+def _stats_cache_path(paths: Sequence[str]):
+    import hashlib
+    import os
+
+    loc = os.environ.get("S18_PREP_CACHE", "")
+    if loc == "0":
+        return None
+    h = hashlib.sha1()
+    try:
+        for p in paths:
+            st = os.stat(p)
+            h.update(f"{os.path.basename(p)}:{st.st_size}:"
+                     f"{st.st_mtime_ns}\n".encode())
+    except OSError:
+        return None
+    base = loc or os.path.join(os.path.expanduser("~"), ".cache",
+                               "sigmod2018_tpu")
+    return os.path.join(base, f"stats-{h.hexdigest()}.npz")
+
+
+def _stats_cache_load(paths: Sequence[str]):
+    import numpy as _np
+
+    fp = _stats_cache_path(paths)
+    if fp is None:
+        return None
+    try:
+        with _np.load(fp) as z:
+            ncols = z["ncols"]
+            flat = {f: z[f] for f in _STAT_FIELDS}
+    except (OSError, KeyError, ValueError):
+        return None
+    stats, k = [], 0
+    for nc in ncols:
+        stats.append([ColumnStats(*(int(flat[f][k + c])
+                                    for f in _STAT_FIELDS))
+                      for c in range(int(nc))])
+        k += int(nc)
+    return stats
+
+
+def _stats_cache_store(paths: Sequence[str], stats) -> None:
+    import os
+    import tempfile
+
+    import numpy as _np
+
+    fp = _stats_cache_path(paths)
+    if fp is None:
+        return
+    # uint64: l/u/mode are key values and may exceed int64
+    flat = {f: _np.array([getattr(s, f) for rel in stats for s in rel],
+                         dtype=_np.uint64) for f in _STAT_FIELDS}
+    try:
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(fp), suffix=".npz")
+        with os.fdopen(fd, "wb") as fh:
+            _np.savez(fh, ncols=_np.array([len(r) for r in stats]), **flat)
+        os.replace(tmp, fp)  # atomic: concurrent servers race benignly
+    except OSError:
+        pass
+
+
 class Catalog:
     """All loaded relations, indexed by relation id (file order on stdin)."""
 
@@ -71,6 +149,12 @@ class Catalog:
 
     @staticmethod
     def from_files(paths: Sequence[str], compute_stats: bool = True) -> "Catalog":
+        cached = _stats_cache_load(paths) if compute_stats else None
+        if cached is not None:
+            cat = Catalog.__new__(Catalog)
+            cat.relations = [load_relation(p) for p in paths]  # mmap only
+            cat.stats = cached
+            return cat
         try:
             from .native import load_relations_native
 
@@ -79,10 +163,15 @@ class Catalog:
                 cat = Catalog.__new__(Catalog)
                 cat.relations = [r for r, _ in rels]
                 cat.stats = [s for _, s in rels]
+                _stats_cache_store(paths, cat.stats)
                 return cat
         except ImportError:
             pass
-        return Catalog([load_relation(p) for p in paths], compute_stats=compute_stats)
+        cat = Catalog([load_relation(p) for p in paths],
+                      compute_stats=compute_stats)
+        if compute_stats:
+            _stats_cache_store(paths, cat.stats)
+        return cat
 
     def _compute_stats(self) -> None:
         self.stats = [

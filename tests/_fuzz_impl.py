@@ -1,6 +1,9 @@
 """Differential fuzz body: N random queries through every engine mode vs
-the NumPy oracle.  argv: [N] [SEED].  Used by tests/test_fuzz.py (CI) and
-tools/soak.py (chunked multi-process soak)."""
+the NumPy oracle.  argv: [N] [SEED] [mesh].  Used by tests/test_fuzz.py
+(CI) and tools/soak.py (chunked multi-process soak).  With the "mesh"
+flag (and >= 2 local devices — the caller sets
+--xla_force_host_platform_device_count) the matrix swaps in the
+distributed engines over the full device mesh."""
 import sys
 
 import numpy as np
@@ -17,13 +20,25 @@ for n in (500, 350, 200, 120, 80):
     cols = [rng.integers(0, 50, size=n).astype(np.uint64) for _ in range(3)]
     rels.append(Relation(columns=cols))
 cat = Catalog(rels)
-engines = [('compiled', CompiledEngine(cat, EngineConfig())),
-           ('standard', JaxEngine(cat, EngineConfig())),
-           ('nofuse', JaxEngine(cat, EngineConfig(fuse_final_join=False))),
-           ('compiled-nofuse',
-            CompiledEngine(cat, EngineConfig(fuse_final_join=False))),
-           ('compiled-nospec',
-            CompiledEngine(cat, EngineConfig(speculate=False)))]
+if len(sys.argv) > 3 and sys.argv[3] == "mesh":
+    import jax
+
+    from sigmod2018_tpu.parallel.dist_compiled import DistCompiledEngine
+    from sigmod2018_tpu.parallel.dist_engine import DistJaxEngine
+
+    assert len(jax.devices()) >= 2, "mesh fuzz needs multiple devices"
+    engines = [('dist-compiled', DistCompiledEngine(cat, EngineConfig())),
+               ('dist-standard', DistJaxEngine(cat, EngineConfig())),
+               ('dist-compiled-nospec',
+                DistCompiledEngine(cat, EngineConfig(speculate=False)))]
+else:
+    engines = [('compiled', CompiledEngine(cat, EngineConfig())),
+               ('standard', JaxEngine(cat, EngineConfig())),
+               ('nofuse', JaxEngine(cat, EngineConfig(fuse_final_join=False))),
+               ('compiled-nofuse',
+                CompiledEngine(cat, EngineConfig(fuse_final_join=False))),
+               ('compiled-nospec',
+                CompiledEngine(cat, EngineConfig(speculate=False)))]
 fails = 0
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 for trial in range(N):

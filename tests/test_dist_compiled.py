@@ -143,3 +143,39 @@ def test_mesh4_shape_agnostic(catalog):
     for qtext in QUERIES[:4]:
         q = parse_query(qtext)
         assert eng.execute(q) == execute_query_numpy(q, catalog), qtext
+
+
+def test_ring_exchange_matches_a2a(mesh, catalog):
+    """S18_EXCHANGE=ring: the ppermute neighbor-hop decomposition of the
+    shuffle (dist._ring_all_to_all) is bit-equivalent to the XLA
+    all_to_all transport on every query shape."""
+    eng = DistCompiledEngine(
+        catalog, EngineConfig(exchange="ring", bcast_threshold=0),
+        mesh=mesh)
+    for qtext in QUERIES:
+        q = parse_query(qtext)
+        assert eng.execute(q) == execute_query_numpy(q, catalog), qtext
+    assert "shuffle" in eng.join_strategies
+
+
+def test_hier_mesh_topology(mesh):
+    """hier_mesh/flat_mesh_dcn_last group devices host-major so the 1-D
+    shuffle axis keeps same-host chips adjacent (multihost.py; CI fakes
+    the host grouping — one process owns all virtual devices)."""
+    from sigmod2018_tpu.parallel import flat_mesh_dcn_last, hier_mesh
+
+    hm = hier_mesh(fake_hosts=2)
+    assert hm.devices.shape == (2, len(jax.devices()) // 2)
+    assert hm.axis_names == ("host", "chip")
+    fm = flat_mesh_dcn_last(fake_hosts=2)
+    devs = list(fm.devices.reshape(-1))
+    half = len(devs) // 2
+    # first half of the flat axis = host 0's chips, in order
+    assert [d.id for d in devs[:half]] == [d.id for d in hm.devices[0]]
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from sigmod2018_tpu.parallel import init_distributed
+
+    monkeypatch.delenv("S18_COORD_ADDR", raising=False)
+    assert init_distributed() is False

@@ -124,3 +124,39 @@ def test_blowup_retry_net():
     # Absurdly low cap: every plan blows it, forcing the retry path.
     eng = JaxEngine(cat, EngineConfig(max_intermediate=10))
     assert eng.execute(q) == execute_query_numpy(q, cat)
+
+
+def test_join_orders_match_reference_joinenum(small_catalog, small_workload):
+    """Pin the DP's chosen orders against the reference's actual JoinEnum
+    output on every small-workload query that reaches the DP (VERDICT r1
+    weak #6; fixture provenance in tests/fixtures/small_joinenum_plans.txt).
+
+    The single documented deviation: we keep cycle-closing predicates the
+    reference drops (join_order.py docstring), so the comparison removes
+    predicates absent from the reference plan before asserting equality —
+    the tree-edge sequence and duplicate-pair re-insertion points must
+    match exactly."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "small_joinenum_plans.txt"
+    ref_plans = {}
+    for line in fixture.read_text().splitlines():
+        if not line.startswith("PLAN"):
+            continue
+        parts = line.split()
+        ref_plans[int(parts[1])] = parts[2:]
+    assert len(ref_plans) == 32
+
+    _, work, _ = small_workload
+    queries = [l for l in work if l.strip() and l.strip() != "F"]
+
+    for qi, text in enumerate(queries):
+        if qi not in ref_plans:
+            continue
+        q = parse_query(text)
+        order = [f"{j.binding1}.{j.column1}={j.binding2}.{j.column2}"
+                 for j in plan_joins(q, small_catalog)]
+        ref = ref_plans[qi]
+        common = [p for p in order if p in ref]
+        assert common == ref, (
+            f"query {qi} ({text}): planner order {order} vs reference {ref}")

@@ -74,3 +74,41 @@ def test_reference_binary_layout(tmp_path):
     store_relation(rel, p)
     raw = np.fromfile(p, dtype="<u8")
     np.testing.assert_array_equal(raw, [2, 2, 7, 8, 9, 10])
+
+
+def test_prep_stats_cache_roundtrip(tmp_path, monkeypatch):
+    """Prep-artifact cache (SURVEY §5 checkpoint row): second
+    Catalog.from_files of the same file set loads identical stats from
+    the on-disk cache; touching a file invalidates its key."""
+    import os
+
+    import numpy as np
+
+    from sigmod2018_tpu.storage import catalog as cat_mod
+    from sigmod2018_tpu.storage.catalog import Catalog
+    from sigmod2018_tpu.storage.relation import Relation, store_relation
+
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "cache"))
+    rng = np.random.default_rng(5)
+    f = str(tmp_path / "r0")
+    rel = Relation(columns=[
+        rng.integers(0, 1 << 63, size=100, dtype=np.uint64),
+        np.full(100, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),
+    ])
+    store_relation(rel, f)
+
+    c1 = Catalog.from_files([f])
+    cache_files = list((tmp_path / "cache").glob("stats-*.npz"))
+    assert len(cache_files) == 1
+
+    loaded = cat_mod._stats_cache_load([f])
+    assert loaded is not None
+    c2 = Catalog.from_files([f])
+    assert [[vars(s) for s in r] for r in c2.stats] == \
+           [[vars(s) for s in r] for r in c1.stats]
+    # u survives the uint64 round-trip exactly
+    assert c2.stats[0][1].u == 0xFFFFFFFFFFFFFFFF
+
+    # invalidation: rewrite with different mtime
+    os.utime(f, ns=(1, 1))
+    assert cat_mod._stats_cache_load([f]) is None

@@ -23,15 +23,22 @@ done = 0
 chunk_i = 0
 while done < N:
     n = min(CHUNK, N - done)
-    out = subprocess.run(
-        [sys.executable, str(REPO / "tests" / "_fuzz_impl.py"),
-         str(n), str(SEED + chunk_i)],
-        capture_output=True, text=True, timeout=3600,
-        env={"S18_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root",
-             "PYTHONPATH": str(REPO)},
-    )
+    # Every third chunk runs the distributed engines on an 8-device
+    # virtual mesh (VERDICT r1 weak #7: the soak must cover the mesh
+    # engine, not just single-chip modes).
+    mesh = chunk_i % 3 == 2
+    env = {"S18_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "PYTHONPATH": str(REPO)}
+    args = [sys.executable, str(REPO / "tests" / "_fuzz_impl.py"),
+            str(n), str(SEED + chunk_i)]
+    if mesh:
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        args.append("mesh")
+    out = subprocess.run(args, capture_output=True, text=True, timeout=3600,
+                         env=env)
     tail = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-    print(f"chunk {chunk_i} (seed {SEED + chunk_i}): {tail}")
+    print(f"chunk {chunk_i} (seed {SEED + chunk_i}"
+          f"{', mesh' if mesh else ''}): {tail}")
     if "0 failures" not in tail:
         fails += 1
         print(out.stdout[-3000:])
