@@ -37,6 +37,21 @@ class EngineConfig:
     # (ops/agg_join.py): the final intermediate is never materialized.
     fuse_final_join: bool = True
 
+    # Presort every base column at prep time (the contest prep window is
+    # untimed): joins whose build side is an unfiltered base column skip
+    # their argsort at query time (engine device_sorted_column).  Costs
+    # one sorted copy + permutation per column of device memory.
+    presort: bool = True
+
+    # Domain-rank key tables (engine device_key_table): for a base join
+    # column whose exact max value u (catalog stats) satisfies
+    # u + 3 <= key_table_max, prep builds cumcnt[k] = #rows with key < k
+    # over the whole domain — the TPU restatement of the reference's
+    # bucket-chain index (rhjoin.c:219-309).  A join building on such a
+    # column runs with ZERO sorts (two gathers give each probe row its
+    # match range).  0 disables.  Device cost: 4*(u+3) bytes per column.
+    key_table_max: int = 1 << 22
+
     # Whole-query segment compilation (engine/compiled.py): one XLA
     # program per intermediate-join sync point instead of one per
     # operator.  Single-join queries become one program, zero syncs.
@@ -101,6 +116,8 @@ class EngineConfig:
             optimize_joins=_flag("S18_OPTIMIZE", "1") != "0",
             fuse_final_join=_flag("S18_FUSE", "1") != "0",
             compile_queries=_flag("S18_COMPILE_QUERIES", "1") != "0",
+            presort=_flag("S18_PRESORT", "1") != "0",
+            key_table_max=int(_flag("S18_KEYTABLE", str(1 << 22))),
             speculate=_flag("S18_SPECULATE", "1") != "0",
             spec_margin=int(_flag("S18_SPEC_MARGIN", "8")),
             spec_max=int(_flag("S18_SPEC_MAX", str(1 << 22))),

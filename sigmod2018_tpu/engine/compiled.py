@@ -162,7 +162,26 @@ class CompiledEngine(JaxEngine):
         cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
         key32 = tuple(self._key32(query, jp) for jp in joins)
-        args = (skel, joins, key32, cols_used, ns, consts, cols)
+        # Prep-time sorts of every base join-key column ride in as extra
+        # runtime args; joins whose build side is statically an
+        # unfiltered base column skip their argsort (XLA DCEs unused
+        # entries).  jkeys indexes in SKELETON coordinates (relation id,
+        # column), matching col_of's keys.
+        if self.config.presort:
+            jkeys = tuple(sorted(
+                {(query.relations[jp.binding1], jp.column1) for jp in joins}
+                | {(query.relations[jp.binding2], jp.column2)
+                   for jp in joins}))
+            spairs = tuple(self.device_sorted_column(r, c) for r, c in jkeys)
+            tkeys = tuple(rc for rc in jkeys
+                          if self.device_key_table(*rc) is not None)
+            tcols = tuple(self.device_key_table(*rc) for rc in tkeys)
+        else:
+            jkeys, spairs, tkeys, tcols = (), (), (), ()
+        scols = tuple(p[0] for p in spairs)
+        sperms = tuple(p[1] for p in spairs)
+        args = (skel, joins, key32, cols_used, ns, consts, cols,
+                jkeys, scols, sperms, tkeys, tcols)
 
         if n_classes and guard and self.config.speculate:
             learned = self._learned(query)
@@ -173,7 +192,8 @@ class CompiledEngine(JaxEngine):
                 out = _run_segments(skel, joins, key32, classes, cols_used,
                                     ns, self.config.min_pad,
                                     self.config.fuse_final_join,
-                                    self.config.join_algo, consts, cols)
+                                    self.config.join_algo, consts, cols,
+                                    jkeys, scols, sperms, tkeys, tcols)
 
                 def retry() -> str:
                     try:
@@ -192,6 +212,7 @@ class CompiledEngine(JaxEngine):
 
     def _run_incremental(self, query: Query, skel, joins, key32,
                          cols_used, ns, consts, cols,
+                         jkeys, scols, sperms, tkeys, tcols,
                          guard: bool) -> Result:
         """Per-intermediate-join sync path: each segment's output total
         sizes the next static class (1 RTT per intermediate join)."""
@@ -200,7 +221,8 @@ class CompiledEngine(JaxEngine):
             out = _run_segments(skel, joins, key32, classes, cols_used, ns,
                                 self.config.min_pad,
                                 self.config.fuse_final_join,
-                                self.config.join_algo, consts, cols)
+                                self.config.join_algo, consts, cols,
+                                jkeys, scols, sperms, tkeys, tcols)
             if out.ndim:  # complete: [totals..., count, sums...]
                 if classes and guard:
                     # the exact classes are now known — teach the
@@ -308,16 +330,27 @@ class _Fallback(Exception):
 
 @partial(jax.jit,
          static_argnames=("query", "joins", "key32", "classes", "cols_used",
-                          "ns", "min_pad", "fuse", "algo"))
+                          "ns", "min_pad", "fuse", "algo", "jkeys", "tkeys"))
 def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
-                  min_pad: int, fuse: bool, algo: str, consts, cols):
+                  min_pad: int, fuse: bool, algo: str, consts, cols,
+                  jkeys=(), scols=(), sperms=(), tkeys=(), tcols=()):
     """Pure-functional replay of the executor up to the next unknown size
     class.  `query` is a SKELETON (filter values = indices into the
     runtime `consts` vector).  Returns the next intermediate join's total
     (i64 scalar) when `classes` is not yet complete, else the packed
     [len(classes) + 1 + V] u64 vector
-    [t_1..t_k, count, sum_0..sum_{V-1}]."""
+    [t_1..t_k, count, sum_0..sum_{V-1}].
+
+    `jkeys`/`scols`/`sperms`: prep-time sorts of base join-key columns
+    (engine.device_sorted_column) — a join building on an unfiltered
+    base column uses them instead of sorting at query time.
+    `tkeys`/`tcols`: prep-time domain rank tables
+    (engine.device_key_table) — a join building on such a column runs
+    with ZERO sorts; a side with a table is preferred as the build side
+    outright."""
     colmap = {rc: (cols[i], ns[i]) for i, rc in enumerate(cols_used)}
+    smap = {rc: (scols[i], sperms[i]) for i, rc in enumerate(jkeys)}
+    tmap = {rc: tcols[i] for i, rc in enumerate(tkeys)}
 
     def col_of(b, c):
         return colmap[(query.relations[b], c)]
@@ -398,9 +431,22 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
 
         keys_l, n_l = join_keys(comp_l, jp.binding1, jp.column1)
         keys_r, n_r = join_keys(comp_r, jp.binding2, jp.column2)
-        build_left = keys_l.shape[0] <= keys_r.shape[0]
+        tbl_l = (tmap.get((query.relations[jp.binding1], jp.column1))
+                 if comp_l is None else None)
+        tbl_r = (tmap.get((query.relations[jp.binding2], jp.column2))
+                 if comp_r is None else None)
+        if (tbl_l is None) != (tbl_r is None):
+            build_left = tbl_l is not None
+        else:
+            build_left = keys_l.shape[0] <= keys_r.shape[0]
         keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
         keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
+        comp_b = comp_l if build_left else comp_r
+        tbl_b = tbl_l if build_left else tbl_r
+        bb, bc = ((jp.binding1, jp.column1) if build_left
+                  else (jp.binding2, jp.column2))
+        presorted = (smap.get((query.relations[bb], bc))
+                     if comp_b is None else None)
 
         last = idx == len(joins) - 1
         merged = {jp.binding1, jp.binding2}
@@ -431,17 +477,33 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                 else:
                     brows.append(zb)
                     prows.append(vals)
+            table = ((tbl_b, presorted[1])
+                     if tbl_b is not None and presorted is not None
+                     else None)
             count, sums_b, sums_p = ops.fused_join_auto(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
-                algo=algo, key32=key32[idx],
+                algo=algo, key32=key32[idx], presorted=presorted,
+                table=table,
             )
             return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]
             ))
 
-        sorted_keys, perm = ops.join_build(keys_b, n_b)
-        lo, cnt, ccum, total = ops.join_probe_count(sorted_keys, n_b,
-                                                    keys_p, n_p)
+        if tbl_b is not None and presorted is not None:
+            # Key-table path: match ranges are two gathers, no sort.
+            perm = presorted[1]
+            lo, cnt, ccum, total = ops.join_probe_count_table(
+                tbl_b, keys_p, n_p)
+        else:
+            if presorted is not None:
+                sk64, perm = presorted
+                sorted_keys = (sk64.astype(jnp.uint32) if key32[idx]
+                               else sk64)
+            else:
+                sorted_keys, perm = ops.join_build(keys_b, n_b,
+                                                   key32=key32[idx])
+            lo, cnt, ccum, total = ops.join_probe_count(sorted_keys, n_b,
+                                                        keys_p, n_p)
         if class_idx >= len(classes):
             return total  # segment boundary: host picks the class
         totals.append(total)

@@ -49,6 +49,8 @@ from .. import ops
 
 _MASK64 = (1 << 64) - 1
 
+_cast_u32 = jax.jit(lambda a: a.astype(jnp.uint32))
+
 Count = Union[int, jax.Array]  # host int or device int32/uint64 scalar
 
 
@@ -177,12 +179,71 @@ class JaxEngine:
         self._columns[key] = (dev, n)
         return dev, n
 
+    def device_sorted_column(self, rid: int, cid: int,
+                             key32: bool = False):
+        """Prep-time sort of a base column: (sorted_keys, perm) with pads
+        forced to dtype-max, as produced by ops.join_build.  The contest
+        prep window is untimed (harness.cpp:175-208), so any join whose
+        build side is an unfiltered base column skips its argsort at
+        query time.  The u64 sort is canonical; the key32 variant is a
+        cached order-preserving downcast of it (bit-identical to sorting
+        u32 directly — values < 2^32, stable ties by index)."""
+        cache = self.__dict__.setdefault("_sorted_columns", {})
+        key = (rid, cid, key32)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if key32:
+            sk64, perm = self.device_sorted_column(rid, cid, False)
+            pair = (_cast_u32(sk64), perm)
+        else:
+            dev, n = self.device_column(rid, cid)
+            pair = ops.join_build(dev, jnp.int32(n))
+        cache[key] = pair
+        return pair
+
+    def device_key_table(self, rid: int, cid: int):
+        """Domain rank table of a base column, or None when gated off:
+        cumcnt[k] = #rows with key < k, k in [0, u+2], u = the column's
+        exact max (catalog stats) — u+3 i32 entries, so the table's
+        shape statically encodes u.  The TPU restatement of the
+        reference's bucket-chain index (rhjoin.c:219-309): a probe row's
+        match range in the prep-sorted column is two gathers, no sort.
+        Built host-side (one bincount+cumsum pass) in the untimed prep
+        window."""
+        cache = self.__dict__.setdefault("_key_tables", {})
+        key = (rid, cid)
+        if key in cache:
+            return cache[key]
+        tbl = None
+        stats = getattr(self.catalog, "stats", None)
+        if stats and self.config.key_table_max and self.config.presort:
+            try:
+                u = int(stats[rid][cid].u)
+            except (IndexError, TypeError):
+                u = -1
+            if 0 <= u and u + 3 <= self.config.key_table_max:
+                col = np.asarray(self.catalog.column(rid, cid),
+                                 dtype=np.uint64)
+                bc = np.bincount(col.astype(np.int64), minlength=u + 1)
+                if bc.shape[0] == u + 1:  # stats exact -> always true
+                    cumcnt = np.zeros(u + 3, dtype=np.int32)
+                    cumcnt[1:u + 2] = np.cumsum(bc)
+                    cumcnt[u + 2] = cumcnt[u + 1]
+                    tbl = jnp.asarray(cumcnt)
+        cache[key] = tbl
+        return tbl
+
     def prefetch(self) -> None:
-        """Push every base column to device ahead of the timed phase
-        (the contest's prep window is untimed, harness.cpp:175-177)."""
+        """Push every base column to device, presort it, and build its
+        key table ahead of the timed phase (the contest's prep window is
+        untimed, harness.cpp:175-177)."""
         for rid, rel in enumerate(self.catalog.relations):
             for cid in range(rel.num_columns):
                 self.device_column(rid, cid)
+                if self.config.presort:
+                    self.device_sorted_column(rid, cid)
+                    self.device_key_table(rid, cid)
         for dev, _ in self._columns.values():
             dev.block_until_ready()
 
@@ -275,7 +336,7 @@ class JaxEngine:
                     )
 
             comp = self._exec_join(components, comp_l, comp_r, col_of, jp,
-                                   guard=guard)
+                                   query, guard=guard)
             if comp.count == 0:  # host int: the sized emit observed zero
                 return NullResult(len(query.views))
 
@@ -366,20 +427,47 @@ class JaxEngine:
         return self._ops.gather_u64(coldev, comp.row(binding)), comp.count
 
     def _exec_join(self, components, comp_l, comp_r, col_of,
-                   jp: JoinPred, guard: bool = True) -> Component:
+                   jp: JoinPred, query: Query,
+                   guard: bool = True) -> Component:
         keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
         keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
 
-        # Build (= sorted) side by padded size: sort cost is driven by the
-        # static shape, which the host knows without a readback.
-        build_left = keys_l.shape[0] <= keys_r.shape[0]
+        # Build-side choice: a side with a prep-time key table joins with
+        # ZERO sorts regardless of its size, so it wins outright; else
+        # the smaller padded side (sort cost is driven by the static
+        # shape, which the host knows without a readback).
+        rc_l = (query.relations[jp.binding1], jp.column1)
+        rc_r = (query.relations[jp.binding2], jp.column2)
+        tbl_l = self.device_key_table(*rc_l) if comp_l is None else None
+        tbl_r = self.device_key_table(*rc_r) if comp_r is None else None
+        if (tbl_l is None) != (tbl_r is None):
+            build_left = tbl_l is not None
+        else:
+            build_left = keys_l.shape[0] <= keys_r.shape[0]
         keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
         keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
 
-        sorted_keys, perm = self._ops.join_build(keys_b, _n32(n_b))
-        lo, cnt, ccum, total_dev = self._ops.join_probe_count(
-            sorted_keys, _n32(n_b), keys_p, _n32(n_p)
-        )
+        key32 = self._key32(query, jp)
+        comp_b = comp_l if build_left else comp_r
+        tbl_b = tbl_l if build_left else tbl_r
+        b, c = ((jp.binding1, jp.column1) if build_left
+                else (jp.binding2, jp.column2))
+        if tbl_b is not None:
+            # Key-table path: match ranges are two gathers, no sort.
+            _, perm = self.device_sorted_column(query.relations[b], c)
+            lo, cnt, ccum, total_dev = self._ops.join_probe_count_table(
+                tbl_b, keys_p, _n32(n_p))
+        else:
+            if comp_b is None and self.config.presort:
+                # Unfiltered base build side: prep-time sort.
+                sorted_keys, perm = self.device_sorted_column(
+                    query.relations[b], c, key32)
+            else:
+                sorted_keys, perm = self._ops.join_build(keys_b, _n32(n_b),
+                                                         key32=key32)
+            lo, cnt, ccum, total_dev = self._ops.join_probe_count(
+                sorted_keys, _n32(n_b), keys_p, _n32(n_p)
+            )
         total = int(total_dev)  # the one required sync: sizes the emit
         if guard and 0 < self.config.max_intermediate < total:
             raise IntermediateBlowup(total)
@@ -430,7 +518,14 @@ class JaxEngine:
         final intermediate is never materialized and needs no sync."""
         keys_l, n_l = self._join_keys(col_of, comp_l, jp.binding1, jp.column1)
         keys_r, n_r = self._join_keys(col_of, comp_r, jp.binding2, jp.column2)
-        build_left = keys_l.shape[0] <= keys_r.shape[0]
+        rc_l = (query.relations[jp.binding1], jp.column1)
+        rc_r = (query.relations[jp.binding2], jp.column2)
+        tbl_l = self.device_key_table(*rc_l) if comp_l is None else None
+        tbl_r = self.device_key_table(*rc_r) if comp_r is None else None
+        if (tbl_l is None) != (tbl_r is None):
+            build_left = tbl_l is not None
+        else:
+            build_left = keys_l.shape[0] <= keys_r.shape[0]
 
         def side_of(binding: int) -> bool:
             """True = the jp.binding1 (left) side."""
@@ -454,10 +549,19 @@ class JaxEngine:
             else:
                 prows[vi] = vals
 
+        presorted = table = None
+        comp_b = comp_l if build_left else comp_r
+        tbl_b = tbl_l if build_left else tbl_r
+        if comp_b is None and self.config.presort:
+            b, c = ((jp.binding1, jp.column1) if build_left
+                    else (jp.binding2, jp.column2))
+            presorted = self.device_sorted_column(query.relations[b], c)
+            if tbl_b is not None:
+                table = (tbl_b, presorted[1])
         packed = self._fused_join_packed(
             keys_b, jnp.stack(brows), _n32(n_b),
             keys_p, jnp.stack(prows), _n32(n_p),
-            key32=self._key32(query, jp),
+            key32=self._key32(query, jp), presorted=presorted, table=table,
         )
         return PendingResult(packed[: 1 + len(query.views)],
                              len(query.views))
@@ -477,7 +581,8 @@ class JaxEngine:
         return u1 < (1 << 32) and u2 < (1 << 32)
 
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols,
-                           n_p, key32: bool = False) -> jax.Array:
+                           n_p, key32: bool = False,
+                           presorted=None, table=None) -> jax.Array:
         """Fused final join + checksums -> packed [1 + V] device vector.
         Each view's values live on exactly one side (the other side's
         zero column contributes 0 to both partial sums).  Size-dispatch
@@ -486,5 +591,6 @@ class JaxEngine:
         distributed shuffle join."""
         count, sums_b, sums_p = self._ops.fused_join_auto(
             keys_b, bcols, n_b, keys_p, pcols, n_p,
-            algo=self.config.join_algo, key32=key32)
+            algo=self.config.join_algo, key32=key32, presorted=presorted,
+            table=table)
         return jnp.concatenate([count.reshape(1), sums_b + sums_p])

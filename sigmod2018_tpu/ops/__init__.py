@@ -8,8 +8,10 @@ from .select import (
     checksum,
     checksum_many,
 )
-from .sort_join import join_build, join_probe_count, join_emit
-from .agg_join import join_checksum_fused
+from .sort_join import (join_build, join_probe_count,
+                        join_probe_count_table, join_emit)
+from .agg_join import (join_checksum_fused, join_checksum_fused_presorted,
+                       join_checksum_fused_table)
 from .radix_join import fused_join_auto, radix_fused_static, radix_join_checksum
 from .cartesian import cartesian_indices
 
@@ -24,6 +26,9 @@ __all__ = [
     "join_probe_count",
     "join_emit",
     "join_checksum_fused",
+    "join_checksum_fused_presorted",
+    "join_checksum_fused_table",
+    "join_probe_count_table",
     "fused_join_auto",
     "radix_fused_static",
     "radix_join_checksum",

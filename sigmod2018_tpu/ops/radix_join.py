@@ -500,7 +500,8 @@ def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
 
 
 def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
-                    algo: str = "auto", key32: bool = False):
+                    algo: str = "auto", key32: bool = False,
+                    presorted=None, table=None):
     """The engine's fused-final-join entry: size-dispatched member of
     the join family (VERDICT r1 #1).
 
@@ -512,17 +513,39 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     `algo`: "auto" (default), "sort" (force sort), "radix" (force the
     radix member — TPU or interpret-mode tests only).  `key32`: both key
     columns' values < 2^32 (catalog stats), enabling the single-limb
-    kernel fast path (half the compare work).
+    fast path (half the sort/compare work).  `presorted`: the build
+    side's prep-time (sorted_keys u64, perm) when it is an unfiltered
+    base column — lets the sort member skip its argsort (the radix
+    member partitions on a rotated key whose order differs, so it
+    ignores the hint).  `table`: the build side's prep-time
+    (cumcnt rank table, perm) — the strongest member: the whole join is
+    gathers + a prefix sum, zero sorts (wins at EVERY size over the
+    other members), so it is taken whenever available unless the radix
+    member is explicitly forced.
     """
-    from .agg_join import join_checksum_fused
+    from .agg_join import (join_checksum_fused,
+                           join_checksum_fused_presorted,
+                           join_checksum_fused_table)
+
+    if table is not None and algo != "radix":
+        cumcnt, perm = table
+        return join_checksum_fused_table(cumcnt, perm, vals_b,
+                                         jnp.int32(n_b), keys_p, vals_p,
+                                         jnp.int32(n_p))
 
     Pmax = max(keys_b.shape[0], keys_p.shape[0])
     on_tpu = jax.default_backend() == "tpu"
     use_radix = algo == "radix" or (
         algo == "auto" and on_tpu and Pmax >= RADIX_MIN_ROWS)
     if not use_radix:
+        if presorted is not None:
+            sk, perm = presorted
+            return join_checksum_fused_presorted(
+                sk, perm, vals_b, jnp.int32(n_b),
+                keys_p, vals_p, jnp.int32(n_p), key32=key32)
         return join_checksum_fused(keys_b, vals_b, jnp.int32(n_b),
-                                   keys_p, vals_p, jnp.int32(n_p))
+                                   keys_p, vals_p, jnp.int32(n_p),
+                                   key32=key32)
     bits, SPb, SPp = static_radix_plan(keys_b.shape[0], keys_p.shape[0])
     if not on_tpu:
         # Forced radix off-TPU (tests): the REAL kernel pipeline under

@@ -30,15 +30,39 @@ import jax
 import jax.numpy as jnp
 
 _PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_PAD_KEY32 = jnp.uint32(0xFFFFFFFF)
 
 
-@jax.jit
-def join_build(keys: jax.Array, n_valid: jax.Array):
+def _ccum_total(cnt: jax.Array):
+    """(ccum i32, total i64) from per-row i32 match counts.
+
+    `total` is exact (i64 tree-sum — it sizes output classes and feeds
+    overflow validation).  `ccum` deliberately stays i32: it only
+    positions pairs inside a ≤ spec_max-sized emit, and a query whose
+    true total overflows the guessed class is discarded and re-run by
+    the caller regardless, so wrapped ccum values can never reach an
+    accepted result.  Single-limb cumsum + searchsorted are ~2x the
+    two-limb i64 lowering on TPU."""
+    return jnp.cumsum(cnt), jnp.sum(cnt.astype(jnp.int64))
+
+
+@partial(jax.jit, static_argnames=("key32",))
+def join_build(keys: jax.Array, n_valid: jax.Array, key32: bool = False):
     """Sort the build side.  Returns (sorted_keys, perm) with padding keys
-    forced to 2^64-1 so they sort last."""
+    forced to the dtype max so they sort last.
+
+    `key32` (catalog stats bound every value under 2^32): sort uint32
+    instead of uint64 — TPU has no native 64-bit compare, so a u64 sort
+    runs as a two-limb lexicographic sort; the single-limb sort is ~2x
+    cheaper.  Values < 2^32 keep their order under the downcast, and the
+    stable argsort breaks ties by index either way, so the permutation is
+    bit-identical to the u64 sort's."""
     P = keys.shape[0]
     live = jnp.arange(P, dtype=jnp.int32) < n_valid
-    k = jnp.where(live, keys, _PAD_KEY)
+    if key32:
+        k = jnp.where(live, keys.astype(jnp.uint32), _PAD_KEY32)
+    else:
+        k = jnp.where(live, keys, _PAD_KEY)
     perm = jnp.argsort(k).astype(jnp.int32)
     return k[perm], perm
 
@@ -51,21 +75,62 @@ def join_probe_count(sorted_keys: jax.Array, n_build: jax.Array,
     Returns (lo, cnt, ccum, total): lo[i] = first match position in the
     sorted build array, cnt[i] = number of matches, ccum = inclusive cumsum
     of cnt, total = ccum[-1].
+
+    Probe keys are compared in `sorted_keys`' dtype (uint32 when the
+    build side was sorted single-limb — see join_build).  Both range
+    edges come from ONE searchsorted over [probe, probe+1]: for integer
+    keys, #elements(<= k) == #elements(< k+1), so side="right" at k is
+    side="left" at k+1 — one internal sort of P+2*Pp elements instead of
+    two sorts of P+Pp.  k = dtype-max would wrap, so its right edge is
+    pinned to n_build, which is exact: pad slots hold dtype-max and sort
+    (stably) after every valid row, so a valid max-key run always ends
+    at n_build.
     """
     Pp = probe_keys.shape[0]
+    pk = probe_keys.astype(sorted_keys.dtype)
+    maxv = jnp.array(jnp.iinfo(sorted_keys.dtype).max, sorted_keys.dtype)
     # method="sort": the default scan-based binary search degenerates (~1000x)
     # on TPU when the sorted array contains duplicate runs — which every
     # real key column and every cumsum of counts has.  The sort-based
     # lowering is data-independent.
-    lo = jnp.searchsorted(sorted_keys, probe_keys, side="left", method="sort")
-    hi = jnp.searchsorted(sorted_keys, probe_keys, side="right", method="sort")
-    lo = jnp.minimum(lo, n_build).astype(jnp.int32)
-    hi = jnp.minimum(hi, n_build).astype(jnp.int32)
+    both = jnp.searchsorted(sorted_keys, jnp.concatenate([pk, pk + 1]),
+                            side="left", method="sort")
+    lo = jnp.minimum(both[:Pp], n_build).astype(jnp.int32)
+    hi = jnp.where(pk == maxv, n_build,
+                   jnp.minimum(both[Pp:], n_build)).astype(jnp.int32)
     live = jnp.arange(Pp, dtype=jnp.int32) < n_probe
-    cnt = jnp.where(live, hi - lo, 0).astype(jnp.int64)
-    ccum = jnp.cumsum(cnt)
-    total = ccum[-1]
-    return lo, cnt, ccum, total
+    cnt = jnp.where(live, hi - lo, 0)
+    return lo, cnt, *_ccum_total(cnt)
+
+
+@jax.jit
+def join_probe_count_table(cumcnt: jax.Array,
+                           probe_keys: jax.Array, n_probe: jax.Array):
+    """join_probe_count against a prep-time key table — ZERO sorts.
+
+    `cumcnt` is the build column's domain rank table (engine
+    device_key_table): cumcnt[k] = #build rows with key < k, for
+    k in [0, u+2] where u = the column's exact max (catalog stats), so
+    the table has u+3 entries and cumcnt.shape statically encodes u.
+    Built once in the untimed prep window (the TPU-native restatement of
+    the reference's per-join bucket-chain index, rhjoin.c:219-309: both
+    answer "which build rows carry key k" without pointer chasing —
+    here as two gathers into a rank table).
+
+    Match ranges are in sorted-build coordinates, identical to
+    join_probe_count's (cumcnt[k] is exactly the first sorted position
+    of key k), so join_emit consumes them unchanged with the prep sort's
+    perm.  Probe keys past the domain (k > u) get [n, n) — empty.
+    """
+    u = cumcnt.shape[0] - 3
+    Pp = probe_keys.shape[0]
+    in_dom = probe_keys <= jnp.uint64(u)
+    pkc = jnp.minimum(probe_keys, jnp.uint64(u + 1)).astype(jnp.int32)
+    lo = cumcnt[pkc]
+    hi = jnp.where(in_dom, cumcnt[pkc + 1], lo)
+    live = jnp.arange(Pp, dtype=jnp.int32) < n_probe
+    cnt = jnp.where(live, hi - lo, 0)
+    return lo, cnt, *_ccum_total(cnt)
 
 
 @partial(jax.jit, static_argnames=("out_size",))
@@ -76,12 +141,12 @@ def join_emit(perm: jax.Array, lo: jax.Array, ccum: jax.Array,
     build_pos indexes the *original* (unsorted, padded) build input;
     probe_pos indexes the probe input.  Slots >= total are padded with 0.
     """
-    t = jnp.arange(out_size, dtype=jnp.int64)
+    t = jnp.arange(out_size, dtype=ccum.dtype)
     i = jnp.searchsorted(ccum, t, side="right", method="sort").astype(jnp.int32)
     i = jnp.minimum(i, ccum.shape[0] - 1)
     prev = jnp.where(i > 0, ccum[jnp.maximum(i - 1, 0)], 0)
     j = (t - prev).astype(jnp.int32)
-    valid = t < total
+    valid = t < jnp.minimum(total, out_size).astype(ccum.dtype)
     bpos = perm[jnp.where(valid, lo[i] + j, 0)]
     build_pos = jnp.where(valid, bpos, 0).astype(jnp.int32)
     probe_pos = jnp.where(valid, i, 0).astype(jnp.int32)

@@ -71,7 +71,9 @@ class DistJaxEngine(JaxEngine):
     # ---- distributed fused final join --------------------------------
 
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols, n_p,
-                           key32: bool = False):
+                           key32: bool = False, presorted=None, table=None):
+        # `presorted`/`table` (single-chip prep artifacts) do not apply:
+        # the build side re-partitions across chips in the shuffle below.
         """Route the fused final join through the hand-written shard_map
         hash-shuffle (dist.py) instead of GSPMD propagation: each chip
         buckets its rows by key, all_to_all exchanges them over ICI, the

@@ -19,6 +19,15 @@ rels = []
 for n in (500, 350, 200, 120, 80):
     cols = [rng.integers(0, 50, size=n).astype(np.uint64) for _ in range(3)]
     rels.append(Relation(columns=cols))
+# Big-value relations: values past 2^32 (key32 single-limb off) and past
+# the key-table domain gate (S18_KEYTABLE) — cover the u64 sort paths
+# and joins mixing a table side with a non-table side.  Column 2 stays
+# small so joins against the small relations still produce matches.
+for n, base in ((150, 1 << 34), (100, 1 << 22)):
+    cols = [(base + rng.integers(0, 50, size=n)).astype(np.uint64),
+            (base + rng.integers(0, 50, size=n)).astype(np.uint64),
+            rng.integers(0, 50, size=n).astype(np.uint64)]
+    rels.append(Relation(columns=cols))
 cat = Catalog(rels)
 if len(sys.argv) > 3 and sys.argv[3] == "mesh":
     import jax
@@ -43,7 +52,7 @@ fails = 0
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 for trial in range(N):
     nrel = int(rng.integers(1, 5))
-    bindings = list(rng.integers(0, 5, size=nrel))
+    bindings = list(rng.integers(0, len(rels), size=nrel))
     preds = []
     for b in range(1, nrel):
         preds.append(f'{b-1}.{rng.integers(0,3)}={b}.{rng.integers(0,3)}')

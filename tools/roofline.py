@@ -139,6 +139,38 @@ def main() -> None:
           f"(single-pass speed-of-light {sol * 1e3:.2f} ms -> "
           f"{sol / t_full * 100:.1f}% of SOL)")
 
+    # ---- the other fused members at the same rows ----------------------
+    # Key-table member (engine device_key_table): needs a bounded key
+    # domain, so re-draw keys from [0, min(n, 2^22)); prep artifacts
+    # (cumcnt + sort perm) are built untimed, as in the engine's prep.
+    from sigmod2018_tpu import ops as O
+
+    D = min(n, 1 << 22)
+    bk2 = jnp.asarray(rng.integers(0, D, n, dtype=np.uint64))
+    pk2 = jnp.asarray(rng.integers(0, D, n, dtype=np.uint64))
+    u = D - 1
+    bc = np.bincount(np.asarray(bk2).astype(np.int64), minlength=u + 1)
+    cumcnt = np.zeros(u + 3, np.int32)
+    cumcnt[1:u + 2] = np.cumsum(bc)
+    cumcnt[u + 2] = cumcnt[u + 1]
+    tbl = jnp.asarray(cumcnt)
+    _, perm = O.join_build(bk2, jnp.int32(n))
+
+    def sort_member():
+        return O.join_checksum_fused(bk2, bv, jnp.int32(n), pk2, pv,
+                                     jnp.int32(n), key32=True)
+
+    def table_member():
+        return O.join_checksum_fused_table(tbl, perm, bv, jnp.int32(n),
+                                           pk2, pv, jnp.int32(n))
+
+    for name, f in (("sort member (key32)", sort_member),
+                    ("table member", table_member)):
+        t = devtime(f, iters=3)
+        print(f"{name:<20s} e2e: {t * 1e3:8.2f} ms   "
+              f"{2 * n / t / 1e6:6.1f} Mrows/s   "
+              f"({sol / t * 100:.1f}% of SOL)  [domain 2^{int(np.log2(D))}]")
+
 
 if __name__ == "__main__":
     main()
