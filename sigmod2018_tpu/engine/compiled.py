@@ -121,18 +121,82 @@ class CompiledEngine(JaxEngine):
     # contest's warm-then-timed harness) speculates with EXACT classes —
     # zero syncs AND no margin-padded device compute.  Validation still
     # runs every time, so a (hypothetical) data change only costs a
-    # retry, never correctness.
+    # retry, never correctness.  Persisted to the prep-cache dir keyed
+    # by (relation-set identity, sizing-relevant config), so a cold
+    # process re-serving the same data skips the learning sync too —
+    # a stale entry is only a retry, the same cost as no entry.
     def _learned(self, query: Query) -> Optional[Tuple[int, ...]]:
-        cache = self.__dict__.setdefault("_learned_classes", {})
-        return cache.get(query.text)
+        return self._learned_cache().get(query.text)
+
+    def _learned_file(self) -> Optional[str]:
+        fp = self.__dict__.get("_learned_fp", "?")
+        if fp != "?":
+            return fp
+        import hashlib
+        import os
+
+        from ..storage.catalog import identity_digest, prep_cache_dir
+
+        fp = None
+        base = prep_cache_dir()
+        paths = getattr(self.catalog, "source_paths", None)
+        digest = identity_digest(paths) if (base and paths) else None
+        if digest is not None:
+            cfg = self.config
+            ch = hashlib.sha1(
+                f"{cfg.min_pad}:{cfg.optimize_joins}:{cfg.fuse_final_join}:"
+                f"{cfg.join_algo}:{cfg.presort}:{cfg.key_table_max}"
+                .encode()).hexdigest()[:8]
+            fp = os.path.join(base, f"learned-{digest}-{ch}.json")
+        self.__dict__["_learned_fp"] = fp
+        return fp
+
+    def _learned_cache(self) -> dict:
+        cache = self.__dict__.get("_learned_classes")
+        if cache is None:
+            cache = {}
+            fp = self._learned_file()
+            if fp is not None:
+                import json
+
+                try:
+                    with open(fp) as fh:
+                        raw = json.load(fh)
+                    cache = {k: tuple(int(t) for t in v)
+                             for k, v in raw.items() if isinstance(v, list)}
+                except (OSError, ValueError):
+                    cache = {}
+            self.__dict__["_learned_classes"] = cache
+        return cache
+
+    def _learn(self, text: str, classes: Tuple[int, ...]) -> None:
+        cache = self._learned_cache()
+        if cache.get(text) == classes:
+            return
+        cache[text] = classes
+        fp = self._learned_file()
+        if fp is None:
+            return
+        import json
+        import os
+        import tempfile
+
+        try:
+            os.makedirs(os.path.dirname(fp), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(fp),
+                                       suffix=".json")
+            with os.fdopen(fd, "w") as fh:
+                json.dump({k: list(v) for k, v in cache.items()}, fh)
+            os.replace(tmp, fp)  # atomic: concurrent servers race benignly
+        except OSError:
+            pass
 
     def _make_recorder(self, query: Query, k: int):
-        cache = self.__dict__.setdefault("_learned_classes", {})
         min_pad = self.config.min_pad
 
         def record(totals: Tuple[int, ...]) -> None:
-            cache[query.text] = tuple(size_class(max(t, 1), min_pad)
-                                      for t in totals)
+            self._learn(query.text, tuple(size_class(max(t, 1), min_pad)
+                                          for t in totals))
 
         return record if k else None
 
@@ -227,8 +291,7 @@ class CompiledEngine(JaxEngine):
                 if classes and guard:
                     # the exact classes are now known — teach the
                     # speculative path for the next run of this query
-                    self.__dict__.setdefault("_learned_classes", {})[
-                        query.text] = classes
+                    self._learn(query.text, classes)
                 return SpecResult(out, len(query.views), classes, 0,
                                   retry=lambda: "")  # totals known valid
             total = int(out)  # the one sync per intermediate join

@@ -106,6 +106,21 @@ class DistCompiledEngine(CompiledEngine):
         # bookkeeping for tests: join strategies chosen at trace time
         self.join_strategies: List[str] = []
 
+    def _learned_file(self):
+        """Per-chip size classes are mesh-shape-specific: key the
+        persisted learned-classes file by mesh size so a single-chip
+        engine (global classes) never reads them and vice versa."""
+        fp = self.__dict__.get("_learned_fp", "?")
+        if fp != "?":
+            return fp
+        self.__dict__["_learned_fp"] = "?"  # let the base compute it
+        base_fp = super()._learned_file()
+        if base_fp is not None:
+            base_fp = base_fp.replace(
+                ".json", f"-mesh{self.mesh.devices.size}.json")
+        self.__dict__["_learned_fp"] = base_fp
+        return base_fp
+
     # ---- storage: row-sharded base columns ---------------------------
 
     def device_column(self, rid: int, cid: int) -> Tuple[jax.Array, int]:
@@ -183,8 +198,7 @@ class DistCompiledEngine(CompiledEngine):
             out = fn(jnp.asarray(consts), *cols)
             if len(classes) == n_classes:
                 if classes and guard:
-                    self.__dict__.setdefault("_learned_classes", {})[
-                        query.text] = classes
+                    self._learn(query.text, classes)
                 return DistSpecResult(out, len(query.views), classes, 0,
                                       retry=lambda: "")
             arr = np.asarray(out)  # [g_total, l_max] — one sync per join

@@ -75,13 +75,13 @@ def compute_column_stats(col: np.ndarray, exact_distinct: bool = True) -> Column
 _STAT_FIELDS = ("l", "u", "f", "d", "fmax", "mode")
 
 
-def _stats_cache_path(paths: Sequence[str]):
+def identity_digest(paths: Sequence[str]):
+    """Identity of a relation set: sha1 over (basename, size, mtime_ns)
+    per file.  Keys every prep artifact (stats cache here, learned size
+    classes in engine/compiled.py).  None when any file is unstatable."""
     import hashlib
     import os
 
-    loc = os.environ.get("S18_PREP_CACHE", "")
-    if loc == "0":
-        return None
     h = hashlib.sha1()
     try:
         for p in paths:
@@ -90,9 +90,29 @@ def _stats_cache_path(paths: Sequence[str]):
                      f"{st.st_mtime_ns}\n".encode())
     except OSError:
         return None
-    base = loc or os.path.join(os.path.expanduser("~"), ".cache",
+    return h.hexdigest()
+
+
+def prep_cache_dir():
+    """Directory for prep artifacts, or None when disabled
+    (S18_PREP_CACHE=0; S18_PREP_CACHE=<dir> relocates)."""
+    import os
+
+    loc = os.environ.get("S18_PREP_CACHE", "")
+    if loc == "0":
+        return None
+    return loc or os.path.join(os.path.expanduser("~"), ".cache",
                                "sigmod2018_tpu")
-    return os.path.join(base, f"stats-{h.hexdigest()}.npz")
+
+
+def _stats_cache_path(paths: Sequence[str]):
+    import os
+
+    base = prep_cache_dir()
+    digest = identity_digest(paths) if base else None
+    if digest is None:
+        return None
+    return os.path.join(base, f"stats-{digest}.npz")
 
 
 def _stats_cache_load(paths: Sequence[str]):
@@ -144,6 +164,7 @@ class Catalog:
     def __init__(self, relations: Sequence[Relation], compute_stats: bool = True):
         self.relations: List[Relation] = list(relations)
         self.stats: List[List[ColumnStats]] = []
+        self.source_paths: List[str] = []
         if compute_stats:
             self._compute_stats()
 
@@ -154,6 +175,7 @@ class Catalog:
             cat = Catalog.__new__(Catalog)
             cat.relations = [load_relation(p) for p in paths]  # mmap only
             cat.stats = cached
+            cat.source_paths = list(paths)
             return cat
         try:
             from .native import load_relations_native
@@ -163,12 +185,14 @@ class Catalog:
                 cat = Catalog.__new__(Catalog)
                 cat.relations = [r for r, _ in rels]
                 cat.stats = [s for _, s in rels]
+                cat.source_paths = list(paths)
                 _stats_cache_store(paths, cat.stats)
                 return cat
         except ImportError:
             pass
         cat = Catalog([load_relation(p) for p in paths],
                       compute_stats=compute_stats)
+        cat.source_paths = list(paths)
         if compute_stats:
             _stats_cache_store(paths, cat.stats)
         return cat

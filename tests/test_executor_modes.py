@@ -176,3 +176,44 @@ def test_protocol_serial_workers(tmp_path):
     stdout = io.StringIO()
     run_protocol(stdin, stdout, EngineConfig(batch_workers=1))
     assert stdout.getvalue().splitlines() == ["45 45"]
+
+
+def test_learned_classes_persist_across_processes(tmp_path, monkeypatch):
+    """Learned intermediate size classes survive a process restart via the
+    prep-cache dir (SURVEY §5 checkpoint row): a cold engine serving the
+    same relation set speculates with the previous run's EXACT classes —
+    no learning sync — and still answers bit-exactly."""
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "prep"))
+    rng = np.random.default_rng(11)
+    paths = []
+    for i, n in enumerate((300, 200, 150)):
+        p = tmp_path / f"r{i}"
+        cols = [rng.integers(0, 40, size=n).astype(np.uint64)
+                for _ in range(3)]
+        store_relation(Relation(columns=cols), p)
+        paths.append(str(p))
+
+    qtext = "0 1 2|0.0=1.0&1.1=2.1|0.2 1.0 2.2"  # 1 intermediate join
+    q = parse_query(qtext)
+
+    cat1 = Catalog.from_files(paths)
+    eng1 = CompiledEngine(cat1, EngineConfig())
+    expected = execute_query_numpy(q, cat1)
+    assert eng1.execute(q) == expected
+    learned = eng1._learned(q)
+    assert learned is not None and len(learned) == 1
+
+    # "new process": fresh catalog + engine, same files
+    cat2 = Catalog.from_files(paths)
+    eng2 = CompiledEngine(cat2, EngineConfig())
+    assert eng2._learned(q) == learned  # loaded from disk, pre-execution
+    assert eng2.execute(q) == expected
+
+    # a different relation set must NOT see these classes
+    p3 = tmp_path / "r3"
+    store_relation(make_identity_relation(50, 3), p3)
+    cat3 = Catalog.from_files(paths[:2] + [str(p3)])
+    eng3 = CompiledEngine(cat3, EngineConfig())
+    assert eng3._learned(q) is None
