@@ -9,12 +9,19 @@ cache in .jax_cache makes reruns cheap), then the timed pass executes the
 whole workload again.
 
 Baseline: the reference C engine built from /root/reference measured
-7519 ms on this container (BASELINE.md); `vs_baseline` is our_ms/ref_ms
-(< 1.0 means faster than the reference on the same machine).
+892 ms on this container (median of 3 idle runs, 2026-08-17 — the round-1
+figure of 7519 ms was taken under heavy container load; see BASELINE.md);
+`vs_baseline` is our_ms/ref_ms (< 1.0 means faster than the reference on
+the same machine).
 
 Prints ONE JSON line:
   {"metric": "small_workload_wall_ms", "value": N, "unit": "ms",
    "vs_baseline": N, "mismatches": N}
+
+An optional workload directory argument benchmarks another fixture set
+with the same methodology (e.g. `python bench.py workloads/scaled`);
+the metric name and the reference-ms baseline follow the workload
+(reference C engine re-measured idle on this container, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -25,7 +32,8 @@ import time
 from pathlib import Path
 
 SMALL = Path("/root/reference/submission/workloads/small")
-REFERENCE_MS = 7519.0  # C engine, this container, BASELINE.md
+# Reference C engine wall-clock on this container, idle (BASELINE.md).
+REFERENCE_MS = {"small": 892.0, "scaled": 381.0, "zipf": None}
 
 
 def main() -> None:
@@ -34,14 +42,16 @@ def main() -> None:
     from sigmod2018_tpu.frontend.parser import parse_work_file
     from sigmod2018_tpu.storage.catalog import Catalog
 
+    wl = Path(sys.argv[1]).resolve() if len(sys.argv) > 1 else SMALL
+    name = wl.name
     init = [
-        str(SMALL / line.strip().split("/")[-1])
-        for line in (SMALL / "small.init").read_text().splitlines()
+        str(wl / line.strip().split("/")[-1])
+        for line in (wl / f"{name}.init").read_text().splitlines()
         if line.strip()
     ]
-    batches = list(parse_work_file((SMALL / "small.work").read_text().splitlines()))
+    batches = list(parse_work_file((wl / f"{name}.work").read_text().splitlines()))
     expected = [
-        l for l in (SMALL / "small.result").read_text().splitlines() if l.strip()
+        l for l in (wl / f"{name}.result").read_text().splitlines() if l.strip()
     ]
 
     # ---- untimed prep: load, transfer, compile (contest prep window) ----
@@ -79,11 +89,14 @@ def main() -> None:
         run_batch(batch)
     ms = (time.perf_counter() - t0) * 1000.0
 
+    ref_ms = REFERENCE_MS.get(name)
     print(json.dumps({
-        "metric": "small_workload_wall_ms",
+        "metric": f"{name}_workload_wall_ms",
         "value": round(ms, 2),
         "unit": "ms",
-        "vs_baseline": round(ms / REFERENCE_MS, 4),
+        # None for workloads where the reference engine answers wrongly
+        # (zipf: 1/12 mismatches, BASELINE.md) — no valid baseline exists.
+        "vs_baseline": round(ms / ref_ms, 4) if ref_ms else None,
         "mismatches": mismatches,
     }))
     if mismatches:

@@ -65,6 +65,14 @@ class EngineConfig:
     # compute and compile time grow with the class).
     speculate: bool = True
     spec_margin: int = 8
+
+    # Replay the persisted serving history (learned size classes file)
+    # during prefetch, warming every known query's XLA programs before
+    # the timed phase.  Off by default: under the contest harness's 1 s
+    # prep window the blocking replay costs more than it saves (see
+    # CompiledEngine.prefetch); enable for serving restarts with a real
+    # untimed prep window.
+    warm_replay: bool = False
     spec_max: int = 1 << 22
 
     # Intermediate-result row cap: if a planned join order produces a
@@ -120,6 +128,7 @@ class EngineConfig:
             key_table_max=int(_flag("S18_KEYTABLE", str(1 << 22))),
             speculate=_flag("S18_SPECULATE", "1") != "0",
             spec_margin=int(_flag("S18_SPEC_MARGIN", "8")),
+            warm_replay=_flag("S18_WARM_REPLAY", "0") != "0",
             spec_max=int(_flag("S18_SPEC_MAX", str(1 << 22))),
             batch_workers=int(_flag("S18_WORKERS", "8")),
             cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),

@@ -191,6 +191,43 @@ class CompiledEngine(JaxEngine):
         except OSError:
             pass
 
+    def prefetch(self) -> None:
+        """Base prefetch (columns, presorts, key tables) plus a replay of
+        the persisted serving history: every query text whose size
+        classes survived a previous process is executed once, untimed,
+        so its XLA programs are loaded/compiled and its speculation is
+        validated BEFORE the timed phase.  Structure-keyed programs make
+        this generalize: an unseen query that shares a skeleton with any
+        replayed one rides an already-warm program.
+
+        Off by default (S18_WARM_REPLAY=1 enables): the contest harness
+        only gives a 1 s prep window after Done (harness.cpp:175-177),
+        and a blocking replay's overrun lands in the TIMED phase —
+        measured on the scaled workload it costs more than the lazy
+        program loads it replaces (6.4 s vs 4.4 s cold).  Enable it for
+        real serving restarts, where prep is genuinely untimed."""
+        super().prefetch()
+        if self.config.warm_replay:
+            self._replay_learned()
+
+    def _replay_learned(self, cap: int = 512) -> None:
+        texts = list(self._learned_cache())
+        if not texts:
+            return
+        from ..frontend.parser import parse_query
+        from .executor import format_batch
+
+        pending = []
+        for text in texts[:cap]:
+            try:
+                pending.append(self.execute_async(parse_query(text)))
+            except Exception:  # noqa: BLE001 — stale/foreign entry: skip
+                continue
+        try:
+            format_batch(pending)  # one drain; results discarded
+        except Exception:  # noqa: BLE001
+            pass
+
     def _make_recorder(self, query: Query, k: int):
         min_pad = self.config.min_pad
 

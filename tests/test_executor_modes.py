@@ -217,3 +217,32 @@ def test_learned_classes_persist_across_processes(tmp_path, monkeypatch):
     cat3 = Catalog.from_files(paths[:2] + [str(p3)])
     eng3 = CompiledEngine(cat3, EngineConfig())
     assert eng3._learned(q) is None
+
+
+def test_warm_replay_prefetch(tmp_path, monkeypatch):
+    """S18_WARM_REPLAY: prefetch replays the persisted serving history
+    (all programs warmed before the timed phase) without changing
+    results."""
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "prep"))
+    rng = np.random.default_rng(12)
+    paths = []
+    for i, n in enumerate((200, 150, 100)):
+        p = tmp_path / f"r{i}"
+        cols = [rng.integers(0, 30, size=n).astype(np.uint64)
+                for _ in range(3)]
+        store_relation(Relation(columns=cols), p)
+        paths.append(str(p))
+    qtext = "0 1 2|0.0=1.0&1.1=2.1|0.2 2.2"
+    q = parse_query(qtext)
+
+    cat1 = Catalog.from_files(paths)
+    eng1 = CompiledEngine(cat1, EngineConfig())
+    expected = execute_query_numpy(q, cat1)
+    assert eng1.execute(q) == expected  # learns + persists
+
+    cat2 = Catalog.from_files(paths)
+    eng2 = CompiledEngine(cat2, EngineConfig(warm_replay=True))
+    eng2.prefetch()  # must replay the persisted text without error
+    assert eng2.execute(q) == expected
