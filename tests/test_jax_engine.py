@@ -79,3 +79,37 @@ def test_differential_random_queries():
         qtext = f"{' '.join(map(str, bindings))}|{'&'.join(preds)}|{views}"
         q = parse_query(qtext)
         assert engine.execute(q) == execute_query_numpy(q, cat), qtext
+
+
+def test_empty_join_null_despite_bucket_overlap():
+    """Empty equi-join -> NULL per view, even when the key exists on one
+    side only (both sides non-empty, values sharing low bits).
+
+    The reference C engine answers this WRONG on such data: a radix join
+    whose bucket histograms overlap but whose keys never match returns a
+    non-NULL zero-tuple result, and CalculateQueryResults
+    (/root/reference/inter_res.c:320-339) has no zero-tuple check, so it
+    prints "0 0" instead of "NULL NULL" (reproduced on workloads/zipf,
+    query '0 3|0.0=1.0&0.0=784|0.2 0.2' — BASELINE.md).  The contest's
+    C++ skeleton semantics (Joiner.cpp:108: NULL iff empty) and this
+    engine print NULL."""
+    # r0.col0 holds 784 (thrice); r1.col0 never does, but 784+16k values
+    # share its low radix bits, so one-level radix buckets overlap.
+    r0 = Relation(columns=[
+        np.array([784, 784, 784, 5], dtype=np.uint64),
+        np.array([1, 2, 3, 4], dtype=np.uint64),
+        np.array([10, 20, 30, 40], dtype=np.uint64),
+    ])
+    r1 = Relation(columns=[
+        np.array([800, 816, 768, 5 + 16], dtype=np.uint64),
+        np.array([7, 8, 9, 11], dtype=np.uint64),
+    ])
+    cat = Catalog([r0, r1])
+    q = parse_query("0 1|0.0=1.0&0.0=784|0.2 0.2")
+    assert execute_query_numpy(q, cat) == "NULL NULL"
+    eng = JaxEngine(cat)
+    assert eng.execute(q) == "NULL NULL"
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    ceng = CompiledEngine(cat, EngineConfig())
+    assert ceng.execute(q) == "NULL NULL"
