@@ -277,12 +277,29 @@ class CompiledEngine(JaxEngine):
             tkeys = tuple(rc for rc in jkeys
                           if self.device_key_table(*rc) is not None)
             tcols = tuple(self.device_key_table(*rc) for rc in tkeys)
+            # Prefix tables for the final join's potential key-table
+            # build sides: one per (relation, join column, view column)
+            # triple — makes the fused table join probe-only
+            # (ops.join_checksum_fused_table_pref).
+            fset = set()
+            if joins:
+                jp = joins[-1]
+                for b, cjoin in ((jp.binding1, jp.column1),
+                                 (jp.binding2, jp.column2)):
+                    rel = query.relations[b]
+                    if self.device_key_table(rel, cjoin) is not None:
+                        for vb, vc in query.views:
+                            if vb == b:
+                                fset.add((rel, cjoin, vc))
+            fkeys = tuple(sorted(fset))
+            fprefs = tuple(self.device_prefix_table(*t) for t in fkeys)
         else:
-            jkeys, spairs, tkeys, tcols = (), (), (), ()
+            jkeys, spairs, tkeys, tcols, fkeys, fprefs = \
+                (), (), (), (), (), ()
         scols = tuple(p[0] for p in spairs)
         sperms = tuple(p[1] for p in spairs)
         args = (skel, joins, key32, cols_used, ns, consts, cols,
-                jkeys, scols, sperms, tkeys, tcols)
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
 
         if n_classes and guard and self.config.speculate:
             learned = self._learned(query)
@@ -294,7 +311,8 @@ class CompiledEngine(JaxEngine):
                                     ns, self.config.min_pad,
                                     self.config.fuse_final_join,
                                     self.config.join_algo, consts, cols,
-                                    jkeys, scols, sperms, tkeys, tcols)
+                                    jkeys, scols, sperms, tkeys, tcols,
+                                    fkeys, fprefs)
 
                 def retry() -> str:
                     try:
@@ -314,7 +332,7 @@ class CompiledEngine(JaxEngine):
     def _run_incremental(self, query: Query, skel, joins, key32,
                          cols_used, ns, consts, cols,
                          jkeys, scols, sperms, tkeys, tcols,
-                         guard: bool) -> Result:
+                         fkeys, fprefs, guard: bool) -> Result:
         """Per-intermediate-join sync path: each segment's output total
         sizes the next static class (1 RTT per intermediate join)."""
         classes: Tuple[int, ...] = ()
@@ -323,7 +341,8 @@ class CompiledEngine(JaxEngine):
                                 self.config.min_pad,
                                 self.config.fuse_final_join,
                                 self.config.join_algo, consts, cols,
-                                jkeys, scols, sperms, tkeys, tcols)
+                                jkeys, scols, sperms, tkeys, tcols,
+                                fkeys, fprefs)
             if out.ndim:  # complete: [totals..., count, sums...]
                 if classes and guard:
                     # the exact classes are now known — teach the
@@ -430,10 +449,12 @@ class _Fallback(Exception):
 
 @partial(jax.jit,
          static_argnames=("query", "joins", "key32", "classes", "cols_used",
-                          "ns", "min_pad", "fuse", "algo", "jkeys", "tkeys"))
+                          "ns", "min_pad", "fuse", "algo", "jkeys", "tkeys",
+                          "fkeys"))
 def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                   min_pad: int, fuse: bool, algo: str, consts, cols,
-                  jkeys=(), scols=(), sperms=(), tkeys=(), tcols=()):
+                  jkeys=(), scols=(), sperms=(), tkeys=(), tcols=(),
+                  fkeys=(), fprefs=()):
     """Pure-functional replay of the executor up to the next unknown size
     class.  `query` is a SKELETON (filter values = indices into the
     runtime `consts` vector).  Returns the next intermediate join's total
@@ -580,10 +601,30 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
             table = ((tbl_b, presorted[1])
                      if tbl_b is not None and presorted is not None
                      else None)
+            # Prep-time prefix tables make the table member probe-only:
+            # when every build-side view has one (fkeys/fprefs), the
+            # build payload never enters the program (XLA DCEs brows).
+            tprefs = None
+            if table is not None:
+                fmap = {t: fprefs[i] for i, t in enumerate(fkeys)}
+                rel_b = query.relations[bb]
+                zpref = jnp.zeros((keys_b.shape[0] + 1,), jnp.uint64)
+                rows_p, ok = [], True
+                for b, c in query.views:
+                    if side_of(b) == build_left:
+                        pr = fmap.get((rel_b, bc, c))
+                        if pr is None:
+                            ok = False
+                            break
+                        rows_p.append(pr)
+                    else:
+                        rows_p.append(zpref)
+                if ok:
+                    tprefs = jnp.stack(rows_p)
             count, sums_b, sums_p = ops.fused_join_auto(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
                 algo=algo, key32=key32[idx], presorted=presorted,
-                table=table,
+                table=table, table_prefs=tprefs,
             )
             return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]

@@ -147,6 +147,12 @@ def format_batch(results: Sequence) -> List[str]:
 class JaxEngine:
     """Executes contest queries against a Catalog on the JAX backend."""
 
+    # Single-chip prep-time join artifacts (presorted columns, key
+    # tables, prefix tables) feed the fused join directly; the mesh
+    # engine re-partitions the build side across chips in its shuffle,
+    # so they do not apply there (dist_engine.py sets this False).
+    prep_join_artifacts = True
+
     def __init__(self, catalog: Catalog, config: EngineConfig = DEFAULT_CONFIG):
         self.catalog = catalog
         self.config = config
@@ -234,16 +240,38 @@ class JaxEngine:
         cache[key] = tbl
         return tbl
 
+    def device_prefix_table(self, rid: int, key_cid: int, val_cid: int):
+        """Prep-time prefix sums of a value column in key-sorted order:
+        pref[i] = wrap-around u64 sum of column `val_cid` over the first
+        i rows when sorted by column `key_cid` (pads contribute 0).
+        Shape [P+1].  Paired with device_key_table, this makes a fused
+        checksum join PROBE-ONLY at query time (two prefix gathers per
+        view replace the per-query build-payload gather + cumsum) — see
+        ops.join_checksum_fused_table_pref.  Lazily built and cached;
+        prefetch eager-builds the pairs of key-table columns."""
+        cache = self.__dict__.setdefault("_prefix_tables", {})
+        key = (rid, key_cid, val_cid)
+        hit = cache.get(key)
+        if hit is None:
+            _, perm = self.device_sorted_column(rid, key_cid)
+            col, n = self.device_column(rid, val_cid)
+            hit = ops.prefix_by_perm(col, perm, jnp.int32(n))
+            cache[key] = hit
+        return hit
+
     def prefetch(self) -> None:
-        """Push every base column to device, presort it, and build its
-        key table ahead of the timed phase (the contest's prep window is
-        untimed, harness.cpp:175-177)."""
+        """Push every base column to device, presort it, build its key
+        table, and build the prefix-sum tables of every (key-table
+        column, value column) pair, ahead of the timed phase (the
+        contest's prep window is untimed, harness.cpp:175-177)."""
         for rid, rel in enumerate(self.catalog.relations):
             for cid in range(rel.num_columns):
                 self.device_column(rid, cid)
-                if self.config.presort:
+                if self.config.presort and self.prep_join_artifacts:
                     self.device_sorted_column(rid, cid)
-                    self.device_key_table(rid, cid)
+                    if self.device_key_table(rid, cid) is not None:
+                        for vcid in range(rel.num_columns):
+                            self.device_prefix_table(rid, cid, vcid)
         for dev, _ in self._columns.values():
             dev.block_until_ready()
 
@@ -537,31 +565,48 @@ class JaxEngine:
 
         keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
         keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
-        V = max(len(query.views), self._FUSED_VPAD)
-        brows = [self._zeros_u64(keys_b.shape[0])] * V
-        prows = [self._zeros_u64(keys_p.shape[0])] * V
-        for vi, (b, c) in enumerate(query.views):
-            coldev, _ = col_of(b, c)
-            comp = comp_l if side_of(b) else comp_r
-            vals = coldev if comp is None else self._ops.gather_u64(coldev, comp.row(b))
-            if side_of(b) == build_left:
-                brows[vi] = vals
-            else:
-                prows[vi] = vals
 
         presorted = table = None
         comp_b = comp_l if build_left else comp_r
         tbl_b = tbl_l if build_left else tbl_r
-        if comp_b is None and self.config.presort:
-            b, c = ((jp.binding1, jp.column1) if build_left
-                    else (jp.binding2, jp.column2))
-            presorted = self.device_sorted_column(query.relations[b], c)
+        bb, bc = ((jp.binding1, jp.column1) if build_left
+                  else (jp.binding2, jp.column2))
+        if (comp_b is None and self.config.presort
+                and self.prep_join_artifacts):
+            presorted = self.device_sorted_column(query.relations[bb], bc)
             if tbl_b is not None:
                 table = (tbl_b, presorted[1])
+
+        V = max(len(query.views), self._FUSED_VPAD)
+        Pb = keys_b.shape[0]
+        brows = [self._zeros_u64(Pb)] * V
+        prows = [self._zeros_u64(keys_p.shape[0])] * V
+        # Key-table build side: every build-side view is a base column of
+        # the build relation (comp_b is None), so its prep-time prefix
+        # table replaces the per-query gather + cumsum — the fused join
+        # becomes probe-only (ops.join_checksum_fused_table_pref).
+        prefs = ([self._zeros_u64(Pb + 1)] * V
+                 if table is not None and self.config.join_algo != "radix"
+                 else None)  # forced radix ignores the table member
+        for vi, (b, c) in enumerate(query.views):
+            coldev, _ = col_of(b, c)
+            comp = comp_l if side_of(b) else comp_r
+            if side_of(b) == build_left:
+                if prefs is not None:
+                    prefs[vi] = self.device_prefix_table(
+                        query.relations[bb], bc, c)
+                else:
+                    brows[vi] = (coldev if comp is None else
+                                 self._ops.gather_u64(coldev, comp.row(b)))
+            else:
+                prows[vi] = (coldev if comp is None else
+                             self._ops.gather_u64(coldev, comp.row(b)))
+
         packed = self._fused_join_packed(
-            keys_b, jnp.stack(brows), _n32(n_b),
+            keys_b, jnp.stack(brows) if prefs is None else None, _n32(n_b),
             keys_p, jnp.stack(prows), _n32(n_p),
             key32=self._key32(query, jp), presorted=presorted, table=table,
+            table_prefs=jnp.stack(prefs) if prefs is not None else None,
         )
         return PendingResult(packed[: 1 + len(query.views)],
                              len(query.views))
@@ -582,7 +627,8 @@ class JaxEngine:
 
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols,
                            n_p, key32: bool = False,
-                           presorted=None, table=None) -> jax.Array:
+                           presorted=None, table=None,
+                           table_prefs=None) -> jax.Array:
         """Fused final join + checksums -> packed [1 + V] device vector.
         Each view's values live on exactly one side (the other side's
         zero column contributes 0 to both partial sums).  Size-dispatch
@@ -592,5 +638,5 @@ class JaxEngine:
         count, sums_b, sums_p = self._ops.fused_join_auto(
             keys_b, bcols, n_b, keys_p, pcols, n_p,
             algo=self.config.join_algo, key32=key32, presorted=presorted,
-            table=table)
+            table=table, table_prefs=table_prefs)
         return jnp.concatenate([count.reshape(1), sums_b + sums_p])

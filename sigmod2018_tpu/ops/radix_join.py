@@ -501,7 +501,7 @@ def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
 
 def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                     algo: str = "auto", key32: bool = False,
-                    presorted=None, table=None):
+                    presorted=None, table=None, table_prefs=None):
     """The engine's fused-final-join entry: size-dispatched member of
     the join family (VERDICT r1 #1).
 
@@ -518,17 +518,25 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     base column — lets the sort member skip its argsort (the radix
     member partitions on a rotated key whose order differs, so it
     ignores the hint).  `table`: the build side's prep-time
-    (cumcnt rank table, perm) — the strongest member: the whole join is
+    (cumcnt rank table, perm) — a strong member: the whole join is
     gathers + a prefix sum, zero sorts (wins at EVERY size over the
     other members), so it is taken whenever available unless the radix
-    member is explicitly forced.
+    member is explicitly forced.  `table_prefs`: prep-time prefix-sum
+    tables for every build-side view ([V, Pb+1], engine
+    device_prefix_table) — upgrades the table member to PROBE-ONLY
+    query-time work (the strongest member: zero build-side
+    gathers/cumsums at query time; vals_b is then unused, may be None).
     """
     from .agg_join import (join_checksum_fused,
                            join_checksum_fused_presorted,
-                           join_checksum_fused_table)
+                           join_checksum_fused_table,
+                           join_checksum_fused_table_pref)
 
     if table is not None and algo != "radix":
         cumcnt, perm = table
+        if table_prefs is not None:
+            return join_checksum_fused_table_pref(
+                cumcnt, table_prefs, keys_p, vals_p, jnp.int32(n_p))
         return join_checksum_fused_table(cumcnt, perm, vals_b,
                                          jnp.int32(n_b), keys_p, vals_p,
                                          jnp.int32(n_p))

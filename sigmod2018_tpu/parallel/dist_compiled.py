@@ -95,6 +95,8 @@ class DistCompiledEngine(CompiledEngine):
     """CompiledEngine over a device mesh: row-sharded storage + explicit
     shuffle/broadcast joins (S18_MESH > 1)."""
 
+    prep_join_artifacts = False  # shuffle re-partitions the build side
+
     def __init__(self, catalog: Catalog, config: EngineConfig,
                  mesh: Optional[Mesh] = None):
         super().__init__(catalog, config)

@@ -37,6 +37,8 @@ from .dist import AXIS, make_mesh
 class DistJaxEngine(JaxEngine):
     """JaxEngine with row-sharded base columns over a 1-D mesh."""
 
+    prep_join_artifacts = False  # shuffle re-partitions the build side
+
     def __init__(self, catalog: Catalog, config: EngineConfig,
                  mesh: Optional[Mesh] = None):
         super().__init__(catalog, config)
@@ -71,9 +73,11 @@ class DistJaxEngine(JaxEngine):
     # ---- distributed fused final join --------------------------------
 
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols, n_p,
-                           key32: bool = False, presorted=None, table=None):
-        # `presorted`/`table` (single-chip prep artifacts) do not apply:
-        # the build side re-partitions across chips in the shuffle below.
+                           key32: bool = False, presorted=None, table=None,
+                           table_prefs=None):
+        # `presorted`/`table`/`table_prefs` (single-chip prep artifacts)
+        # do not apply: the build side re-partitions across chips in the
+        # shuffle below (prep_join_artifacts=False keeps them None).
         """Route the fused final join through the hand-written shard_map
         hash-shuffle (dist.py) instead of GSPMD propagation: each chip
         buckets its rows by key, all_to_all exchanges them over ICI, the

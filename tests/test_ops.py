@@ -226,3 +226,29 @@ def test_fused_table_matches_fresh():
     assert int(c1) == int(c2)
     np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb2))
     np.testing.assert_array_equal(np.asarray(sp1), np.asarray(sp2))
+
+
+def test_fused_table_pref_matches_fresh():
+    """Probe-only member (prep-time prefix tables): bit-identical to the
+    fresh-sort fused join, including pad handling and u64 wraparound."""
+    rng = np.random.default_rng(6)
+    nb, npr = 700, 900
+    kb = rng.integers(0, 50, size=nb).astype(np.uint64)
+    kp = rng.integers(0, 80, size=npr).astype(np.uint64)  # past domain
+    vb = rng.integers(0, 2**63, size=nb).astype(np.uint64)
+    vp = rng.integers(0, 2**63, size=npr).astype(np.uint64)
+    Pb, Pp = size_class(nb), size_class(npr)
+    kbd = jnp.asarray(pad_to(kb, Pb))
+    kpd = jnp.asarray(pad_to(kp, Pp))
+    vbd = jnp.asarray(pad_to(vb, Pb))[None, :]
+    vpd = jnp.asarray(pad_to(vp, Pp))[None, :]
+    c1, sb1, sp1 = ops.join_checksum_fused(
+        kbd, vbd, jnp.int32(nb), kpd, vpd, jnp.int32(npr))
+    tbl = _key_table(kb)
+    _, perm = ops.join_build(kbd, jnp.int32(nb))  # prep sort
+    pref = ops.prefix_by_perm(vbd[0], perm, jnp.int32(nb))[None, :]
+    c2, sb2, sp2 = ops.join_checksum_fused_table_pref(
+        tbl, pref, kpd, vpd, jnp.int32(npr))
+    assert int(c1) == int(c2)
+    np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb2))
+    np.testing.assert_array_equal(np.asarray(sp1), np.asarray(sp2))
