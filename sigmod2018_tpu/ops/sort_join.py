@@ -140,12 +140,26 @@ def join_emit(perm: jax.Array, lo: jax.Array, ccum: jax.Array,
 
     build_pos indexes the *original* (unsorted, padded) build input;
     probe_pos indexes the probe input.  Slots >= total are padded with 0.
-    """
+
+    Range expansion is scatter + running-max, O(out_size + Pp): each
+    non-empty block scatters its probe-row index at its start slot
+    (block starts are strictly increasing, so no collisions), and a
+    cummax fills every slot with its owning row.  Replaces the
+    searchsorted expansion, whose method="sort" lowering sorts
+    Pp + out_size elements — the dominant cost of multi-million-row
+    emits (the reference's equivalent loop is the pair emit at
+    rhjoin.c:176-216, which is O(out) for the same reason)."""
+    Pp = ccum.shape[0]
+    starts = jnp.concatenate([jnp.zeros((1,), ccum.dtype), ccum[:-1]])
+    cnt = ccum - starts
+    rows = jnp.arange(Pp, dtype=jnp.int32)
+    out = jnp.zeros((out_size,), jnp.int32)
+    out = out.at[jnp.where(cnt > 0, starts, out_size)].max(
+        rows + 1, mode="drop")
+    i = jax.lax.cummax(out) - 1  # owning probe row per slot
     t = jnp.arange(out_size, dtype=ccum.dtype)
-    i = jnp.searchsorted(ccum, t, side="right", method="sort").astype(jnp.int32)
-    i = jnp.minimum(i, ccum.shape[0] - 1)
-    prev = jnp.where(i > 0, ccum[jnp.maximum(i - 1, 0)], 0)
-    j = (t - prev).astype(jnp.int32)
+    i = jnp.clip(i, 0, Pp - 1)
+    j = (t - starts[i]).astype(jnp.int32)
     valid = t < jnp.minimum(total, out_size).astype(ccum.dtype)
     bpos = perm[jnp.where(valid, lo[i] + j, 0)]
     build_pos = jnp.where(valid, bpos, 0).astype(jnp.int32)

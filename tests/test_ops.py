@@ -252,3 +252,32 @@ def test_fused_table_pref_matches_fresh():
     assert int(c1) == int(c2)
     np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb2))
     np.testing.assert_array_equal(np.asarray(sp1), np.asarray(sp2))
+
+
+def test_join_emit_scatter_matches_bruteforce():
+    """The scatter+cummax range expansion in join_emit must reproduce
+    the brute-force pair set for arbitrary cnt patterns (empty blocks,
+    leading/trailing zeros, out_size > total padding)."""
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        nb = int(rng.integers(1, 40))
+        npr = int(rng.integers(1, 60))
+        kb = rng.integers(0, 8, size=nb).astype(np.uint64)
+        kp = rng.integers(0, 12, size=npr).astype(np.uint64)
+        Pb, Pp = size_class(nb), size_class(npr)
+        kbd = jnp.asarray(pad_to(kb, Pb))
+        kpd = jnp.asarray(pad_to(kp, Pp))
+        sk, perm = ops.join_build(kbd, jnp.int32(nb))
+        lo, cnt, ccum, total = ops.join_probe_count(
+            sk, jnp.int32(nb), kpd, jnp.int32(npr))
+        t = int(total)
+        out_size = size_class(max(t, 1))
+        bpos, ppos = ops.join_emit(perm, lo, ccum, total, out_size=out_size)
+        got = sorted(zip(np.asarray(bpos)[:t].tolist(),
+                         np.asarray(ppos)[:t].tolist()))
+        expect = sorted((i, j) for i in range(nb) for j in range(npr)
+                        if kb[i] == kp[j])
+        assert got == expect, trial
+        # pad slots must be zero
+        assert not np.asarray(bpos)[t:].any()
+        assert not np.asarray(ppos)[t:].any()
