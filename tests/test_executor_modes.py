@@ -246,3 +246,57 @@ def test_warm_replay_prefetch(tmp_path, monkeypatch):
     eng2 = CompiledEngine(cat2, EngineConfig(warm_replay=True))
     eng2.prefetch()  # must replay the persisted text without error
     assert eng2.execute(q) == expected
+
+
+def test_compiled_fused_table_program_is_sort_free():
+    """With a key table + prefix tables on the build side, the compiled
+    single-join program must contain NO sort at all — the fused join is
+    probe-only gathers (ops.join_checksum_fused_table_pref).  Asserted
+    on the lowered HLO, like the dist engine's no-gather contract."""
+    import sigmod2018_tpu.engine.compiled as C
+
+    rng = np.random.default_rng(13)
+    rels = []
+    for n in (500, 400):
+        cols = [rng.integers(0, 64, size=n).astype(np.uint64)
+                for _ in range(3)]
+        rels.append(Relation(columns=cols))
+    cat = Catalog(rels)
+    eng = C.CompiledEngine(cat, EngineConfig())
+    q = parse_query("0 1|0.0=1.0|0.1 1.2")
+
+    joins, cols_used, n_classes, class_idx = eng._static_plan(q, True)
+    assert n_classes == 0  # fused single join
+    skel, consts = C._skeletonize(q)
+    cols = tuple(eng.device_column(r, c)[0] for r, c in cols_used)
+    ns = tuple(eng.device_column(r, c)[1] for r, c in cols_used)
+    key32 = tuple(eng._key32(q, jp) for jp in joins)
+    jkeys = tuple(sorted(
+        {(q.relations[jp.binding1], jp.column1) for jp in joins}
+        | {(q.relations[jp.binding2], jp.column2) for jp in joins}))
+    spairs = tuple(eng.device_sorted_column(r, c) for r, c in jkeys)
+    tkeys = tuple(rc for rc in jkeys
+                  if eng.device_key_table(*rc) is not None)
+    assert tkeys, "fixture must be under the key-table gate"
+    tcols = tuple(eng.device_key_table(*rc) for rc in tkeys)
+    jp = joins[-1]
+    fset = set()
+    for b, cjoin in ((jp.binding1, jp.column1), (jp.binding2, jp.column2)):
+        rel = q.relations[b]
+        if eng.device_key_table(rel, cjoin) is not None:
+            for vb, vc in q.views:
+                if vb == b:
+                    fset.add((rel, cjoin, vc))
+    fkeys = tuple(sorted(fset))
+    fprefs = tuple(eng.device_prefix_table(*t) for t in fkeys)
+    scols = tuple(p[0] for p in spairs)
+    sperms = tuple(p[1] for p in spairs)
+    hlo = C._run_segments.lower(
+        skel, joins, key32, (), cols_used, ns, eng.config.min_pad,
+        True, eng.config.join_algo, consts, cols,
+        jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs,
+    ).as_text()
+    assert "sort(" not in hlo and " sort" not in hlo.lower(), \
+        "fused table+prefs program must not sort"
+    # and it must still answer correctly
+    assert eng.execute(q) == execute_query_numpy(q, cat)
