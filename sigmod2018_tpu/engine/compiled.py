@@ -128,16 +128,17 @@ class CompiledEngine(JaxEngine):
     def _learned(self, query: Query) -> Optional[Tuple[int, ...]]:
         return self._learned_cache().get(query.text)
 
-    def _learned_file(self) -> Optional[str]:
-        fp = self.__dict__.get("_learned_fp", "?")
-        if fp != "?":
-            return fp
+    def _prep_key(self) -> Optional[Tuple[str, str, str]]:
+        """(cache base dir, relation-set digest, config hash) keying every
+        per-(data, config) prep artifact: learned classes, program vault."""
+        pk = self.__dict__.get("_prep_key_val", "?")
+        if pk != "?":
+            return pk
         import hashlib
-        import os
 
         from ..storage.catalog import identity_digest, prep_cache_dir
 
-        fp = None
+        pk = None
         base = prep_cache_dir()
         paths = getattr(self.catalog, "source_paths", None)
         digest = identity_digest(paths) if (base and paths) else None
@@ -147,9 +148,32 @@ class CompiledEngine(JaxEngine):
                 f"{cfg.min_pad}:{cfg.optimize_joins}:{cfg.fuse_final_join}:"
                 f"{cfg.join_algo}:{cfg.presort}:{cfg.key_table_max}"
                 .encode()).hexdigest()[:8]
-            fp = os.path.join(base, f"learned-{digest}-{ch}.json")
-        self.__dict__["_learned_fp"] = fp
-        return fp
+            pk = (base, digest, ch)
+        self.__dict__["_prep_key_val"] = pk
+        return pk
+
+    def _learned_file(self) -> Optional[str]:
+        import os
+
+        pk = self._prep_key()
+        if pk is None:
+            return None
+        base, digest, ch = pk
+        return os.path.join(base, f"learned-{digest}-{ch}.json")
+
+    def _vault(self):
+        v = self.__dict__.get("_vault_obj")
+        if v is None:
+            import os
+
+            from .vault import ProgramVault
+
+            pk = self._prep_key() if self.config.vault else None
+            d = (os.path.join(pk[0], f"vault-{pk[1]}-{pk[2]}")
+                 if pk is not None else None)
+            v = ProgramVault(d)
+            self.__dict__["_vault_obj"] = v
+        return v
 
     def _learned_cache(self) -> dict:
         cache = self.__dict__.get("_learned_classes")
@@ -205,7 +229,14 @@ class CompiledEngine(JaxEngine):
         and a blocking replay's overrun lands in the TIMED phase —
         measured on the scaled workload it costs more than the lazy
         program loads it replaces (6.4 s vs 4.4 s cold).  Enable it for
-        real serving restarts, where prep is genuinely untimed."""
+        real serving restarts, where prep is genuinely untimed.
+
+        The program vault (vault.py) supersedes replay for program
+        warmth: restores start here, overlap the device prep below
+        (deserialize is GIL-light, the XLA compile-cache hit releases
+        the GIL), and a query arriving before its restore finishes
+        waits on that restore instead of re-tracing."""
+        self._vault().load_async()
         super().prefetch()
         if self.config.warm_replay:
             self._replay_learned()
@@ -260,6 +291,9 @@ class CompiledEngine(JaxEngine):
         joins, cols_used, n_classes, class_idx = self._static_plan(
             query, use_planner)
         skel, consts = _skeletonize(query)
+        # Device-array consts: keeps the call signature identical to the
+        # vault's zeros-primed one (np inputs key a different pjit entry).
+        consts = jnp.asarray(consts)
         cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
         key32 = tuple(self._key32(query, jp) for jp in joins)
@@ -307,12 +341,9 @@ class CompiledEngine(JaxEngine):
                        and len(learned) == n_classes
                        else self._guess_classes(query, joins, class_idx))
             if classes is not None:
-                out = _run_segments(skel, joins, key32, classes, cols_used,
-                                    ns, self.config.min_pad,
-                                    self.config.fuse_final_join,
-                                    self.config.join_algo, consts, cols,
-                                    jkeys, scols, sperms, tkeys, tcols,
-                                    fkeys, fprefs)
+                out = self._call_program(
+                    skel, joins, key32, classes, cols_used, ns, consts,
+                    cols, jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
 
                 def retry() -> str:
                     try:
@@ -329,6 +360,38 @@ class CompiledEngine(JaxEngine):
                                                              n_classes))
         return self._run_incremental(query, *args, guard=guard)
 
+    def _call_program(self, skel, joins, key32, classes, cols_used, ns,
+                      consts, cols, jkeys, scols, sperms, tkeys, tcols,
+                      fkeys, fprefs):
+        """Dispatch one query-program signature: a vaulted program when
+        one is ready (or restoring — wait beats re-tracing), else build
+        one via jax.export (first execution of this signature anywhere,
+        persisted for every later process), else the plain jit call.
+
+        The exported wrapper and the direct jit program lower to the
+        same HLO, so correctness is identical; only trace cost moves
+        out of the timed phase (see vault.py)."""
+        cfg = self.config
+        vault = self._vault()
+        if vault.enabled:
+            statics = (skel, joins, key32, classes, cols_used, ns,
+                       cfg.min_pad, cfg.fuse_final_join, cfg.join_algo,
+                       jkeys, tkeys, fkeys)
+            dyn = (consts, cols, scols, sperms, tcols, fprefs)
+            key = vault.key(statics, dyn)
+            prog = vault.acquire(key)
+            if prog is None:
+                prog = vault.build(key, _program_closure(statics), dyn)
+            if prog is not None:
+                try:
+                    return prog(*dyn)
+                except Exception:  # noqa: BLE001 — stale artifact: re-jit
+                    vault.disable(key)
+        return _run_segments(skel, joins, key32, classes, cols_used, ns,
+                             cfg.min_pad, cfg.fuse_final_join,
+                             cfg.join_algo, consts, cols, jkeys, scols,
+                             sperms, tkeys, tcols, fkeys, fprefs)
+
     def _run_incremental(self, query: Query, skel, joins, key32,
                          cols_used, ns, consts, cols,
                          jkeys, scols, sperms, tkeys, tcols,
@@ -337,12 +400,9 @@ class CompiledEngine(JaxEngine):
         sizes the next static class (1 RTT per intermediate join)."""
         classes: Tuple[int, ...] = ()
         while True:
-            out = _run_segments(skel, joins, key32, classes, cols_used, ns,
-                                self.config.min_pad,
-                                self.config.fuse_final_join,
-                                self.config.join_algo, consts, cols,
-                                jkeys, scols, sperms, tkeys, tcols,
-                                fkeys, fprefs)
+            out = self._call_program(
+                skel, joins, key32, classes, cols_used, ns, consts, cols,
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
             if out.ndim:  # complete: [totals..., count, sums...]
                 if classes and guard:
                     # the exact classes are now known — teach the
@@ -445,6 +505,22 @@ class CompiledEngine(JaxEngine):
 
 class _Fallback(Exception):
     pass
+
+
+def _program_closure(statics):
+    """A positional-arg closure over one signature's static arguments,
+    tracing the same body as _run_segments — the exportable form of the
+    program (jax.export can't carry jit static_argnames)."""
+    (skel, joins, key32, classes, cols_used, ns, min_pad, fuse, algo,
+     jkeys, tkeys, fkeys) = statics
+    raw = _run_segments.__wrapped__
+
+    def fn(consts, cols, scols, sperms, tcols, fprefs):
+        return raw(skel, joins, key32, classes, cols_used, ns, min_pad,
+                   fuse, algo, consts, cols, jkeys, scols, sperms,
+                   tkeys, tcols, fkeys, fprefs)
+
+    return fn
 
 
 @partial(jax.jit,

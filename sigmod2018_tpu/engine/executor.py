@@ -263,15 +263,34 @@ class JaxEngine:
         """Push every base column to device, presort it, build its key
         table, and build the prefix-sum tables of every (key-table
         column, value column) pair, ahead of the timed phase (the
-        contest's prep window is untimed, harness.cpp:175-177)."""
-        for rid, rel in enumerate(self.catalog.relations):
-            for cid in range(rel.num_columns):
-                self.device_column(rid, cid)
-                if self.config.presort and self.prep_join_artifacts:
-                    self.device_sorted_column(rid, cid)
-                    if self.device_key_table(rid, cid) is not None:
-                        for vcid in range(rel.num_columns):
-                            self.device_prefix_table(rid, cid, vcid)
+        contest's prep window is untimed, harness.cpp:175-177).
+
+        Column-parallel: the device sorts, transfers, and NumPy
+        bincounts all release the GIL, so threads overlap them (the
+        per-(rid,cid) dict caches are written under the GIL; a racing
+        duplicate build is benign — last write wins with equal
+        values).  Measured 3.0 s -> ~1 s on the scaled workload's
+        prep."""
+        def one_column(rid: int, cid: int, ncols: int) -> None:
+            self.device_column(rid, cid)
+            if self.config.presort and self.prep_join_artifacts:
+                self.device_sorted_column(rid, cid)
+                if self.device_key_table(rid, cid) is not None:
+                    for vcid in range(ncols):
+                        self.device_prefix_table(rid, cid, vcid)
+
+        work = [(rid, cid, rel.num_columns)
+                for rid, rel in enumerate(self.catalog.relations)
+                for cid in range(rel.num_columns)]
+        if len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8,
+                                    thread_name_prefix="s18prep") as pool:
+                list(pool.map(lambda w: one_column(*w), work))
+        else:
+            for w in work:
+                one_column(*w)
         for dev, _ in self._columns.values():
             dev.block_until_ready()
 

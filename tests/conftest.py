@@ -30,6 +30,22 @@ import pathlib
 
 import pytest
 
+
+@pytest.fixture(scope="session", autouse=True)
+def _isolated_prep_cache(tmp_path_factory):
+    """Point every prep artifact (learned classes, program vault) at a
+    per-run tmp dir: the suite must not read stale serving state from —
+    or leak hundreds of per-fixture cache dirs into — ~/.cache.  Tests
+    exercising persistence set S18_PREP_CACHE themselves (monkeypatch
+    wins over this session default)."""
+    os.environ.setdefault(
+        "S18_PREP_CACHE", str(tmp_path_factory.mktemp("prep_cache")))
+    # The vault doubles compile work for single-use engines (export +
+    # wrapper compile per signature) — pure overhead for throwaway test
+    # fixtures.  Dedicated tests (test_vault.py) enable it explicitly.
+    os.environ.setdefault("S18_VAULT", "0")
+
+
 REFERENCE = pathlib.Path("/root/reference")
 SMALL = REFERENCE / "submission" / "workloads" / "small"
 

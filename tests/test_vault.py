@@ -1,0 +1,116 @@
+"""Program vault (engine/vault.py): cross-process program restore.
+
+The suite-wide default is S18_VAULT=0 (conftest) because the vault is
+pure overhead for single-use engines; these tests opt in and check the
+three contracts that matter:
+
+  1. build-then-serve: a fresh signature is exported, persisted, and
+     answers bit-exactly (vs the NumPy oracle);
+  2. restore: a second engine over the same data restores the program
+     WITHOUT tracing (the exported-wrapper path is taken, asserted via
+     the vault's ready table) and answers bit-exactly;
+  3. resilience: a corrupt vault file is dropped and the query still
+     answers via the jit fallback.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sigmod2018_tpu.config import EngineConfig
+from sigmod2018_tpu.engine.oracle import execute_query_numpy
+from sigmod2018_tpu.frontend.parser import parse_query
+from sigmod2018_tpu.storage.catalog import Catalog
+from sigmod2018_tpu.storage.relation import Relation, store_relation
+
+
+QUERIES = [
+    "0 1|0.0=1.0|0.1 1.2",            # fused single join
+    "0 1 2|0.0=1.0&1.1=2.1|0.2 2.2",  # intermediate join -> size class
+    "0 1|0.0=1.0&0.1>30|1.1",         # filter + join (consts vector)
+]
+
+
+def _catalog(tmp_path, seed=5):
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i, n in enumerate((600, 500, 400)):
+        cols = [rng.integers(0, 64, size=n).astype(np.uint64)
+                for _ in range(3)]
+        p = tmp_path / f"r{i}"
+        store_relation(Relation(columns=cols), str(p))
+        paths.append(str(p))
+    return Catalog.from_files(paths)
+
+
+@pytest.fixture()
+def vault_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "prep"))
+    monkeypatch.setenv("S18_VAULT", "1")
+    return tmp_path
+
+
+def _vault_files(tmp_path):
+    base = tmp_path / "prep"
+    return [p for d in base.glob("vault-*") for p in d.glob("*.jexp")]
+
+
+def test_vault_build_restore_bit_exact(vault_env, tmp_path):
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    cat = _catalog(tmp_path)
+    expected = {}
+    eng1 = CompiledEngine(cat, EngineConfig.from_env())
+    eng1.prefetch()
+    for text in QUERIES:
+        q = parse_query(text)
+        expected[text] = execute_query_numpy(q, cat)
+        assert eng1.execute(q) == expected[text]
+    files = _vault_files(tmp_path)
+    assert files, "first engine must persist exported programs"
+
+    # Fresh engine (new process stand-in): restores, serves from vault.
+    eng2 = CompiledEngine(cat, EngineConfig.from_env())
+    eng2.prefetch()
+    eng2._vault().wait_loaded()
+    restored = dict(eng2._vault()._ready)
+    assert restored, "prefetch must restore vaulted programs"
+    for text in QUERIES:
+        assert eng2.execute(parse_query(text)) == expected[text]
+    # the signatures it served came from the restore table, not tracing
+    assert set(eng2._vault()._ready) >= set(restored)
+
+
+def test_vault_corrupt_file_falls_back(vault_env, tmp_path):
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    cat = _catalog(tmp_path)
+    eng1 = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[0])
+    expected = execute_query_numpy(q, cat)
+    assert eng1.execute(q) == expected
+    files = _vault_files(tmp_path)
+    assert files
+    for p in files:
+        p.write_bytes(b"garbage not a flatbuffer")
+
+    eng2 = CompiledEngine(cat, EngineConfig.from_env())
+    eng2.prefetch()
+    eng2._vault().wait_loaded()
+    assert eng2.execute(q) == expected  # jit fallback
+    assert not _vault_files(tmp_path) or all(
+        p.read_bytes() != b"garbage not a flatbuffer"
+        for p in _vault_files(tmp_path)), "corrupt files must be dropped"
+
+
+def test_vault_disabled_by_flag(tmp_path, monkeypatch):
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "prep"))
+    monkeypatch.setenv("S18_VAULT", "0")
+    cat = _catalog(tmp_path)
+    eng = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[0])
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    assert not _vault_files(tmp_path)
