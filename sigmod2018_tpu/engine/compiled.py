@@ -168,7 +168,13 @@ class CompiledEngine(JaxEngine):
 
             from .vault import ProgramVault
 
-            pk = self._prep_key() if self.config.vault else None
+            cfg = self.config
+            # Mesh engines keep the plain jit path: shard_map programs
+            # have their own cross-process story (sharding-annotated
+            # export is untested here) and dist prep is not the
+            # contest-timed surface.
+            use = cfg.vault and getattr(cfg, "mesh_devices", 1) <= 1
+            pk = self._prep_key() if use else None
             d = (os.path.join(pk[0], f"vault-{pk[1]}-{pk[2]}")
                  if pk is not None else None)
             v = ProgramVault(d)
