@@ -19,7 +19,7 @@ native:
 # The acceptance suite: unit/e2e tests plus a seeded differential soak
 # (3 chunks x 60 queries, one chunk on the 8-device virtual mesh).
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 8
 	python tools/soak.py 180 1234 60
 
 soak:

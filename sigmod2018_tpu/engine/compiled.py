@@ -294,6 +294,35 @@ class CompiledEngine(JaxEngine):
 
     def _execute_compiled(self, query: Query, use_planner: bool,
                           guard: bool) -> Result:
+        # Per-text fast path: for a repeated query text the whole host
+        # side (static plan, skeletonization, device refs, vault key) is
+        # deterministic, so a prepared zero-arg dispatch closure is
+        # cached and reused — ~3 ms/query of Python becomes a dict hit +
+        # dispatch.  Invalidated when the learned size classes diverge
+        # from the cached ones (the slow path would now pick different
+        # classes); wrong speculation still self-heals through the
+        # normal SpecResult validation + retry.
+        fast = self.__dict__.setdefault("_fastpath", {})
+        if len(fast) > 8192:  # unbounded distinct texts: drop, relearn
+            fast.clear()
+        fkey = query.text if (use_planner and guard and query.text) else None
+        if fkey is not None:
+            hit = fast.get(fkey)
+            if hit is not None:
+                classes, n_classes, call, args = hit
+                learned = self._learned(query)
+                if not (learned is not None and len(learned) == n_classes
+                        and tuple(learned) != classes):
+                    out = call()
+                    if n_classes:
+                        return SpecResult(
+                            out, len(query.views), classes,
+                            self.config.max_intermediate,
+                            self._make_retry(query, args, guard),
+                            record=self._make_recorder(query, n_classes))
+                    return SpecResult(out, len(query.views), (), 0,
+                                      retry=lambda: "")
+                fast.pop(fkey, None)
         joins, cols_used, n_classes, class_idx = self._static_plan(
             query, use_planner)
         skel, consts = _skeletonize(query)
@@ -341,50 +370,76 @@ class CompiledEngine(JaxEngine):
         args = (skel, joins, key32, cols_used, ns, consts, cols,
                 jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
 
-        if n_classes and guard and self.config.speculate:
+        if n_classes == 0:
+            # Complete in one program (fused final join / filter-only):
+            # the cacheable fast-path shape.
+            call = self._prepare_call(
+                skel, joins, key32, (), cols_used, ns, consts, cols,
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
+            out = call()
+            if fkey is not None:
+                fast[fkey] = ((), 0, call, args)
+            return SpecResult(out, len(query.views), (), 0,
+                              retry=lambda: "")
+
+        if guard and self.config.speculate:
             learned = self._learned(query)
             classes = (learned if learned is not None
                        and len(learned) == n_classes
                        else self._guess_classes(query, joins, class_idx))
             if classes is not None:
-                out = self._call_program(
+                call = self._prepare_call(
                     skel, joins, key32, classes, cols_used, ns, consts,
                     cols, jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
-
-                def retry() -> str:
-                    try:
-                        res = self._run_incremental(query, *args,
-                                                    guard=guard)
-                    except IntermediateBlowup:
-                        res = self._retry_text_order(query)
-                    return res.line()
-
+                out = call()
+                if fkey is not None:
+                    fast[fkey] = (classes, n_classes, call, args)
                 return SpecResult(out, len(query.views), classes,
                                   self.config.max_intermediate if guard
-                                  else 0, retry,
+                                  else 0,
+                                  self._make_retry(query, args, guard),
                                   record=self._make_recorder(query,
                                                              n_classes))
         return self._run_incremental(query, *args, guard=guard)
 
-    def _call_program(self, skel, joins, key32, classes, cols_used, ns,
+    def _make_retry(self, query: Query, args, guard: bool):
+        def retry() -> str:
+            try:
+                res = self._run_incremental(query, *args, guard=guard)
+            except IntermediateBlowup:
+                res = self._retry_text_order(query)
+            return res.line()
+
+        return retry
+
+    def _prepare_call(self, skel, joins, key32, classes, cols_used, ns,
                       consts, cols, jkeys, scols, sperms, tkeys, tcols,
                       fkeys, fprefs):
-        """Dispatch one query-program signature: a vaulted program when
-        one is ready (or restoring — wait beats re-tracing), else build
-        one via jax.export (first execution of this signature anywhere,
-        persisted for every later process), else the plain jit call.
+        """A zero-arg dispatch closure for one query-program signature:
+        a vaulted program when one is ready (or restoring — wait beats
+        re-tracing), else one built via jax.export (first execution of
+        this signature anywhere, persisted for every later process),
+        else the plain jit call.  The closure is reusable (the per-text
+        fast path caches it); it re-checks the vault table per call, a
+        locked dict get.
 
         The exported wrapper and the direct jit program lower to the
         same HLO, so correctness is identical; only trace cost moves
         out of the timed phase (see vault.py)."""
         cfg = self.config
         vault = self._vault()
-        if vault.enabled:
-            statics = (skel, joins, key32, classes, cols_used, ns,
-                       cfg.min_pad, cfg.fuse_final_join, cfg.join_algo,
-                       jkeys, tkeys, fkeys)
-            dyn = (consts, cols, scols, sperms, tcols, fprefs)
-            key = vault.key(statics, dyn)
+        if not vault.enabled:
+            return lambda: _run_segments(
+                skel, joins, key32, classes, cols_used, ns, cfg.min_pad,
+                cfg.fuse_final_join, cfg.join_algo, consts, cols, jkeys,
+                scols, sperms, tkeys, tcols, fkeys, fprefs)
+        statics = (skel, joins, key32, classes, cols_used, ns,
+                   cfg.min_pad, cfg.fuse_final_join, cfg.join_algo,
+                   jkeys, tkeys, fkeys)
+        dyn = (consts, cols, scols, sperms, tcols, fprefs)
+        key = vault.key(statics, dyn)
+
+        def call():
             prog = vault.acquire(key)
             if prog is None:
                 prog = vault.build(key, _program_closure(statics), dyn)
@@ -393,10 +448,20 @@ class CompiledEngine(JaxEngine):
                     return prog(*dyn)
                 except Exception:  # noqa: BLE001 — stale artifact: re-jit
                     vault.disable(key)
-        return _run_segments(skel, joins, key32, classes, cols_used, ns,
-                             cfg.min_pad, cfg.fuse_final_join,
-                             cfg.join_algo, consts, cols, jkeys, scols,
-                             sperms, tkeys, tcols, fkeys, fprefs)
+            return _run_segments(skel, joins, key32, classes, cols_used,
+                                 ns, cfg.min_pad, cfg.fuse_final_join,
+                                 cfg.join_algo, consts, cols, jkeys,
+                                 scols, sperms, tkeys, tcols, fkeys,
+                                 fprefs)
+
+        return call
+
+    def _call_program(self, skel, joins, key32, classes, cols_used, ns,
+                      consts, cols, jkeys, scols, sperms, tkeys, tcols,
+                      fkeys, fprefs):
+        return self._prepare_call(skel, joins, key32, classes, cols_used,
+                                  ns, consts, cols, jkeys, scols, sperms,
+                                  tkeys, tcols, fkeys, fprefs)()
 
     def _run_incremental(self, query: Query, skel, joins, key32,
                          cols_used, ns, consts, cols,

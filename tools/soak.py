@@ -27,8 +27,12 @@ while done < N:
     # virtual mesh (VERDICT r1 weak #7: the soak must cover the mesh
     # engine, not just single-chip modes).
     mesh = chunk_i % 3 == 2
+    # S18_VAULT=0: random queries never repeat a signature, so exporting
+    # each one is pure overhead (and would pile single-use files into
+    # the prep cache).  S18_PREP_CACHE=0 keeps learned-class churn out
+    # of ~/.cache for the same reason.
     env = {"S18_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root",
-           "PYTHONPATH": str(REPO)}
+           "PYTHONPATH": str(REPO), "S18_VAULT": "0", "S18_PREP_CACHE": "0"}
     args = [sys.executable, str(REPO / "tests" / "_fuzz_impl.py"),
             str(n), str(SEED + chunk_i)]
     if mesh:
