@@ -39,6 +39,7 @@ def main() -> None:
     logn = int(sys.argv[1]) if len(sys.argv) > 1 else 23
     n = 1 << logn
 
+    import sigmod2018_tpu  # noqa: F401 — applies S18_PLATFORM + x64
     import jax
     import jax.numpy as jnp
 
@@ -164,8 +165,17 @@ def main() -> None:
         return O.join_checksum_fused_table(tbl, perm, bv, jnp.int32(n),
                                            pk2, pv, jnp.int32(n))
 
+    # Probe-only member: rank table + prefix tables are prep artifacts
+    # (engine device_prefix_table), query-time work is O(1)/probe row.
+    prefs = jnp.stack([O.prefix_by_perm(bv[0], perm, jnp.int32(n))])
+
+    def table_pref_member():
+        return O.join_checksum_fused_table_pref(tbl, prefs, pk2, pv,
+                                                jnp.int32(n))
+
     for name, f in (("sort member (key32)", sort_member),
-                    ("table member", table_member)):
+                    ("table member", table_member),
+                    ("table+pref member", table_pref_member)):
         t = devtime(f, iters=3)
         print(f"{name:<20s} e2e: {t * 1e3:8.2f} ms   "
               f"{2 * n / t / 1e6:6.1f} Mrows/s   "
