@@ -195,7 +195,12 @@ class ProgramVault:
             names = [os.path.basename(p) for p in full[-_CAP:]]
         if not names:
             return
-        self._pool = ThreadPoolExecutor(max_workers=workers,
+        # S18_VAULT_WORKERS=1 serializes restores: a stale artifact's
+        # compile is a FRESH remote compile on the tunneled TPU, and the
+        # remote service can wedge under concurrent fresh compiles
+        # (bench.py's serial first pass exists for the same reason).
+        workers = int(os.environ.get("S18_VAULT_WORKERS", str(workers)))
+        self._pool = ThreadPoolExecutor(max_workers=max(workers, 1),
                                         thread_name_prefix="s18vault")
         with self._lock:
             for n in names:
