@@ -25,18 +25,26 @@ from sigmod2018_tpu.storage.catalog import Catalog
 from sigmod2018_tpu.storage.relation import Relation, store_relation
 
 
-def gen_relation(rng, rows: int, cols: int, profile: str, keyspace: int) -> Relation:
+def gen_relation(rng, rows: int, cols: int, profile: str, keyspace: int,
+                 lut=None) -> Relation:
     data = []
     for _ in range(cols):
         if profile == "zipf":
             col = np.minimum(rng.zipf(1.3, size=rows), keyspace).astype(np.uint64)
+        elif profile == "bigdom":
+            # Same collision structure as uniform (keyspace distinct
+            # values, shared across relations via the workload LUT) but
+            # spread over a ~2^40 domain: key tables (bounded-domain
+            # rank tables, config.key_table_max) are impossible, so the
+            # at-scale join path is the Pallas radix member.
+            col = lut[rng.integers(0, keyspace, size=rows)]
         else:
             col = rng.integers(0, keyspace, size=rows, dtype=np.uint64)
         data.append(col)
     return Relation(columns=data)
 
 
-def gen_query(rng, num_relations: int) -> str:
+def gen_query(rng, num_relations: int, lut=None) -> str:
     nrel = int(rng.integers(2, 5))
     bindings = rng.integers(0, num_relations, size=nrel)
     preds = []
@@ -44,7 +52,11 @@ def gen_query(rng, num_relations: int) -> str:
         preds.append(f"{b-1}.{rng.integers(0,3)}={b}.{rng.integers(0,3)}")
     if rng.random() < 0.8:
         op = rng.choice(["<", ">", "="])
-        preds.append(f"{rng.integers(0,nrel)}.{rng.integers(0,3)}{op}{rng.integers(1, 1000)}")
+        # bigdom: constants must come from the value domain or every
+        # filter is degenerate (values sit near 2^40).
+        const = (int(rng.choice(lut)) if lut is not None
+                 else int(rng.integers(1, 1000)))
+        preds.append(f"{rng.integers(0,nrel)}.{rng.integers(0,3)}{op}{const}")
     views = " ".join(
         f"{rng.integers(0, nrel)}.{rng.integers(0, 3)}"
         for _ in range(int(rng.integers(1, 4)))
@@ -56,7 +68,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--profile", default="uniform",
-                    choices=["uniform", "zipf", "scaled"])
+                    choices=["uniform", "zipf", "scaled", "bigdom"])
+    ap.add_argument("--domain", type=int, default=1 << 40,
+                    help="bigdom: value domain the keyspace distinct "
+                         "keys are spread over")
     ap.add_argument("--relations", type=int, default=6)
     ap.add_argument("--rows", type=int, default=20000)
     ap.add_argument("--queries", type=int, default=30)
@@ -75,9 +90,17 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     rows = args.rows * (args.scale if args.profile == "scaled" else 1)
 
+    lut = None
+    if args.profile == "bigdom":
+        # replace=False over a 2^40 population is infeasible; oversample
+        # and unique (collision odds ~(2k)^2/domain — negligible).
+        lut = np.unique(rng.integers(0, args.domain, size=2 * args.keyspace,
+                                     dtype=np.uint64))
+        assert lut.size >= args.keyspace
+        lut = rng.permutation(lut)[:args.keyspace]
     rels, init_lines = [], []
     for i in range(args.relations):
-        rel = gen_relation(rng, rows, 3, args.profile, args.keyspace)
+        rel = gen_relation(rng, rows, 3, args.profile, args.keyspace, lut)
         store_relation(rel, out / f"r{i}")
         rels.append(rel)
         init_lines.append(f"r{i}")
@@ -90,7 +113,7 @@ def main() -> None:
     work, results = [], []
     for qi in range(args.queries):
         while True:  # regenerate queries whose results explode
-            qtext = gen_query(rng, args.relations)
+            qtext = gen_query(rng, args.relations, lut)
             try:
                 res = execute_query_numpy(parse_query(qtext), catalog,
                                           max_rows=cap)
