@@ -77,4 +77,12 @@ for trial in range(N):
         if got != want:
             fails += 1
             print('FAIL', name, qt, 'got', got, 'want', want)
+    # Repeat on the first engine: a second execution of the same text
+    # takes the per-text fast path (cached dispatch closure + learned
+    # classes) — differential coverage for its invalidation logic.
+    got = engines[0][1].execute(q)
+    if got != want:
+        fails += 1
+        print('FAIL', engines[0][0] + '-repeat', qt, 'got', got,
+              'want', want)
 print(f'{N} queries x {len(engines)} engines: {fails} failures')

@@ -114,3 +114,49 @@ def test_vault_disabled_by_flag(tmp_path, monkeypatch):
     q = parse_query(QUERIES[0])
     assert eng.execute(q) == execute_query_numpy(q, cat)
     assert not _vault_files(tmp_path)
+
+
+def test_fastpath_invalidation_on_learned_divergence(vault_env, tmp_path):
+    """The per-text fast path must drop its cached classes when the
+    learned classes diverge (the slow path would pick the new ones) and
+    still answer bit-exactly either way."""
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    cat = _catalog(tmp_path)
+    eng = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[1])  # has one intermediate size class
+    expected = execute_query_numpy(q, cat)
+    assert eng.execute(q) == expected          # slow path, learns classes
+    assert eng.execute(q) == expected          # fast path (cached closure)
+    fast = eng.__dict__["_fastpath"]
+    assert q.text in fast
+    cached_classes = fast[q.text][0]
+    assert cached_classes == eng._learned(q)
+    # Simulate divergence: a bigger learned class must evict the entry
+    # and re-run the slow path with the new class.
+    eng._learn(q.text, tuple(c * 2 for c in cached_classes))
+    assert eng.execute(q) == expected
+    assert fast[q.text][0] == tuple(c * 2 for c in cached_classes)
+
+
+def test_fastpath_wrong_speculation_still_retries(vault_env, tmp_path):
+    """A fast-path execution with too-small classes must self-heal via
+    SpecResult validation -> incremental retry, like the slow path."""
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+
+    cat = _catalog(tmp_path)
+    eng = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[1])
+    expected = execute_query_numpy(q, cat)
+    assert eng.execute(q) == expected
+    assert eng.execute(q) == expected          # populate fast path
+    fast = eng.__dict__["_fastpath"]
+    classes, n_classes, call, args = fast[q.text]
+    # Poison both the learned cache and the fast-path entry with a
+    # too-small class: validation sees totals > class and retries.
+    too_small = tuple(max(c // 64, 1) for c in classes)
+    eng._learn(q.text, too_small)
+    small_call = eng._prepare_call(args[0], args[1], args[2], too_small,
+                                   *args[3:])
+    fast[q.text] = (too_small, n_classes, small_call, args)
+    assert eng.execute(q) == expected
