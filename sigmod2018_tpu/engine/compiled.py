@@ -175,7 +175,11 @@ class CompiledEngine(JaxEngine):
             # contest-timed surface.
             use = cfg.vault and getattr(cfg, "mesh_devices", 1) <= 1
             pk = self._prep_key() if use else None
-            d = (os.path.join(pk[0], f"vault-{pk[1]}-{pk[2]}")
+            # v2: program-signature schema version — bump when the
+            # _run_segments argument list changes, so stale exported
+            # programs aren't restored (loads cost prep time even when
+            # their keys can no longer match).
+            d = (os.path.join(pk[0], f"vault2-{pk[1]}-{pk[2]}")
                  if pk is not None else None)
             v = ProgramVault(d)
             self.__dict__["_vault_obj"] = v
@@ -362,20 +366,46 @@ class CompiledEngine(JaxEngine):
                                 fset.add((rel, cjoin, vc))
             fkeys = tuple(sorted(fset))
             fprefs = tuple(self.device_prefix_table(*t) for t in fkeys)
+            # Radix artifacts for the final join's base-column sides
+            # (bits-match and side-eligibility resolve statically
+            # inside _run_segments).
+            rset, rvset = set(), set()
+            if joins:
+                jp = joins[-1]
+                for b, cjoin in ((jp.binding1, jp.column1),
+                                 (jp.binding2, jp.column2)):
+                    rel = query.relations[b]
+                    if self.device_radix_keys(rel, cjoin) is not None:
+                        rset.add((rel, cjoin))
+                        for vb, vc in query.views:
+                            if vb == b:
+                                rvset.add((rel, cjoin, vc))
+            rkeys = tuple(sorted(rset))
+            rarts = tuple(self.device_radix_keys(*rc) for rc in rkeys)
+            rbits = tuple(a[0] for a in rarts)
+            # (krot_sorted, starts, cnts, max_occ) per key — the perm
+            # (a[2]) stays prep-only.
+            rdatas = tuple(x for a in rarts for x in (a[1], a[3], a[4],
+                                                      a[5]))
+            rvkeys = tuple(sorted(rvset))
+            rvals = tuple(self.device_radix_val(*t) for t in rvkeys)
         else:
             jkeys, spairs, tkeys, tcols, fkeys, fprefs = \
                 (), (), (), (), (), ()
+            rkeys, rbits, rdatas, rvkeys, rvals = (), (), (), (), ()
         scols = tuple(p[0] for p in spairs)
         sperms = tuple(p[1] for p in spairs)
         args = (skel, joins, key32, cols_used, ns, consts, cols,
-                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs,
+                rkeys, rbits, rdatas, rvkeys, rvals)
 
         if n_classes == 0:
             # Complete in one program (fused final join / filter-only):
             # the cacheable fast-path shape.
             call = self._prepare_call(
                 skel, joins, key32, (), cols_used, ns, consts, cols,
-                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs,
+                rkeys, rbits, rdatas, rvkeys, rvals)
             out = call()
             if fkey is not None:
                 fast[fkey] = ((), 0, call, args)
@@ -390,7 +420,8 @@ class CompiledEngine(JaxEngine):
             if classes is not None:
                 call = self._prepare_call(
                     skel, joins, key32, classes, cols_used, ns, consts,
-                    cols, jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
+                    cols, jkeys, scols, sperms, tkeys, tcols, fkeys,
+                    fprefs, rkeys, rbits, rdatas, rvkeys, rvals)
                 out = call()
                 if fkey is not None:
                     fast[fkey] = (classes, n_classes, call, args)
@@ -414,7 +445,8 @@ class CompiledEngine(JaxEngine):
 
     def _prepare_call(self, skel, joins, key32, classes, cols_used, ns,
                       consts, cols, jkeys, scols, sperms, tkeys, tcols,
-                      fkeys, fprefs):
+                      fkeys, fprefs, rkeys=(), rbits=(), rdatas=(),
+                      rvkeys=(), rvals=()):
         """A zero-arg dispatch closure for one query-program signature:
         a vaulted program when one is ready (or restoring — wait beats
         re-tracing), else one built via jax.export (first execution of
@@ -432,11 +464,12 @@ class CompiledEngine(JaxEngine):
             return lambda: _run_segments(
                 skel, joins, key32, classes, cols_used, ns, cfg.min_pad,
                 cfg.fuse_final_join, cfg.join_algo, consts, cols, jkeys,
-                scols, sperms, tkeys, tcols, fkeys, fprefs)
+                scols, sperms, tkeys, tcols, fkeys, fprefs, rkeys, rbits,
+                rvkeys, rdatas, rvals)
         statics = (skel, joins, key32, classes, cols_used, ns,
                    cfg.min_pad, cfg.fuse_final_join, cfg.join_algo,
-                   jkeys, tkeys, fkeys)
-        dyn = (consts, cols, scols, sperms, tcols, fprefs)
+                   jkeys, tkeys, fkeys, rkeys, rbits, rvkeys)
+        dyn = (consts, cols, scols, sperms, tcols, fprefs, rdatas, rvals)
         key = vault.key(statics, dyn)
 
         def call():
@@ -452,28 +485,33 @@ class CompiledEngine(JaxEngine):
                                  ns, cfg.min_pad, cfg.fuse_final_join,
                                  cfg.join_algo, consts, cols, jkeys,
                                  scols, sperms, tkeys, tcols, fkeys,
-                                 fprefs)
+                                 fprefs, rkeys, rbits, rvkeys, rdatas,
+                                 rvals)
 
         return call
 
     def _call_program(self, skel, joins, key32, classes, cols_used, ns,
                       consts, cols, jkeys, scols, sperms, tkeys, tcols,
-                      fkeys, fprefs):
+                      fkeys, fprefs, rkeys=(), rbits=(), rdatas=(),
+                      rvkeys=(), rvals=()):
         return self._prepare_call(skel, joins, key32, classes, cols_used,
                                   ns, consts, cols, jkeys, scols, sperms,
-                                  tkeys, tcols, fkeys, fprefs)()
+                                  tkeys, tcols, fkeys, fprefs, rkeys,
+                                  rbits, rdatas, rvkeys, rvals)()
 
     def _run_incremental(self, query: Query, skel, joins, key32,
                          cols_used, ns, consts, cols,
                          jkeys, scols, sperms, tkeys, tcols,
-                         fkeys, fprefs, guard: bool) -> Result:
+                         fkeys, fprefs, rkeys=(), rbits=(), rdatas=(),
+                         rvkeys=(), rvals=(), *, guard: bool) -> Result:
         """Per-intermediate-join sync path: each segment's output total
         sizes the next static class (1 RTT per intermediate join)."""
         classes: Tuple[int, ...] = ()
         while True:
             out = self._call_program(
                 skel, joins, key32, classes, cols_used, ns, consts, cols,
-                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs)
+                jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs,
+                rkeys, rbits, rdatas, rvkeys, rvals)
             if out.ndim:  # complete: [totals..., count, sums...]
                 if classes and guard:
                     # the exact classes are now known — teach the
@@ -583,13 +621,14 @@ def _program_closure(statics):
     tracing the same body as _run_segments — the exportable form of the
     program (jax.export can't carry jit static_argnames)."""
     (skel, joins, key32, classes, cols_used, ns, min_pad, fuse, algo,
-     jkeys, tkeys, fkeys) = statics
+     jkeys, tkeys, fkeys, rkeys, rbits, rvkeys) = statics
     raw = _run_segments.__wrapped__
 
-    def fn(consts, cols, scols, sperms, tcols, fprefs):
+    def fn(consts, cols, scols, sperms, tcols, fprefs, rdatas, rvals):
         return raw(skel, joins, key32, classes, cols_used, ns, min_pad,
                    fuse, algo, consts, cols, jkeys, scols, sperms,
-                   tkeys, tcols, fkeys, fprefs)
+                   tkeys, tcols, fkeys, fprefs, rkeys, rbits, rvkeys,
+                   rdatas, rvals)
 
     return fn
 
@@ -597,11 +636,12 @@ def _program_closure(statics):
 @partial(jax.jit,
          static_argnames=("query", "joins", "key32", "classes", "cols_used",
                           "ns", "min_pad", "fuse", "algo", "jkeys", "tkeys",
-                          "fkeys"))
+                          "fkeys", "rkeys", "rbits", "rvkeys"))
 def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                   min_pad: int, fuse: bool, algo: str, consts, cols,
                   jkeys=(), scols=(), sperms=(), tkeys=(), tcols=(),
-                  fkeys=(), fprefs=()):
+                  fkeys=(), fprefs=(), rkeys=(), rbits=(), rvkeys=(),
+                  rdatas=(), rvals=()):
     """Pure-functional replay of the executor up to the next unknown size
     class.  `query` is a SKELETON (filter values = indices into the
     runtime `consts` vector).  Returns the next intermediate join's total
@@ -619,6 +659,11 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
     colmap = {rc: (cols[i], ns[i]) for i, rc in enumerate(cols_used)}
     smap = {rc: (scols[i], sperms[i]) for i, rc in enumerate(jkeys)}
     tmap = {rc: tcols[i] for i, rc in enumerate(tkeys)}
+    # Radix artifacts: (rel, col) -> (bits, (krot_sorted, starts, cnts,
+    # max_occ)); (rel, keycol, valcol) -> pre-sorted value column.
+    rmap = {rc: (rbits[i], tuple(rdatas[4 * i:4 * i + 4]))
+            for i, rc in enumerate(rkeys)}
+    rvmap = {t: rvals[i] for i, t in enumerate(rvkeys)}
 
     def col_of(b, c):
         return colmap[(query.relations[b], c)]
@@ -768,10 +813,46 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                         rows_p.append(zpref)
                 if ok:
                     tprefs = jnp.stack(rows_p)
+            # Prep-time radix artifacts: a side that is an unfiltered
+            # base column whose artifacts were built at the bits this
+            # join's plan picks (bits = f(build-side padded size)) skips
+            # its query-time sort inside the radix member.  All checks
+            # here are static; fused_join_auto consumes the artifacts
+            # only when the radix member is actually selected (XLA DCEs
+            # the loser's operands).
+            want_bits = ops.plan_bits(keys_b.shape[0])
+
+            def radix_side(bind, cjoin, comp_side, on_build):
+                if comp_side is not None:
+                    return None, None
+                rel = query.relations[bind]
+                hit = rmap.get((rel, cjoin))
+                if hit is None or hit[0] != want_bits:
+                    return None, None
+                zero = zb if on_build else zp
+                rows = []
+                for b2, c2 in query.views:
+                    if (side_of(b2) == build_left) == on_build:
+                        v = rvmap.get((rel, cjoin, c2))
+                        if v is None:
+                            return None, None
+                        rows.append(v)
+                    else:
+                        rows.append(zero)
+                return hit[1], jnp.stack(rows)
+
+            rpre_b, rvals_b = radix_side(
+                bb, bc, comp_l if build_left else comp_r, True)
+            pb_, pc_ = ((jp.binding2, jp.column2) if build_left
+                        else (jp.binding1, jp.column1))
+            rpre_p, rvals_p = radix_side(
+                pb_, pc_, comp_r if build_left else comp_l, False)
             count, sums_b, sums_p = ops.fused_join_auto(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
                 algo=algo, key32=key32[idx], presorted=presorted,
                 table=table, table_prefs=tprefs,
+                radix_pre_b=rpre_b, radix_vals_b=rvals_b,
+                radix_pre_p=rpre_p, radix_vals_p=rvals_p,
             )
             return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]

@@ -92,6 +92,36 @@ def _rotate(keys: jax.Array, bits: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("bits",))
+def radix_prep_keys(keys: jax.Array, n, bits: int):
+    """Prep-time half of `_prep_side` for a BASE column: the rotated-key
+    sort, bucket starts/counts and max occupancy — everything the radix
+    member needs that doesn't depend on the query's value columns.  The
+    returned perm lets prep also pre-sort any value column
+    (engine device_radix_val), so a fused radix join whose side is an
+    unfiltered base column runs with ZERO query-time sorts (the measured
+    prep sort is ~45% of the member's e2e time at 2^23).
+
+    Returns (krot_sorted [P] u64, perm [P] i32, starts [B] i32,
+    cnts [B] i32, max_occ i32[]).  Artifacts are bits-specific; callers
+    must only use them when `plan_bits(P_build)` matches."""
+    P = keys.shape[0]
+    n = jnp.int32(n)
+    live = jnp.arange(P, dtype=jnp.int32) < n
+    krot = jnp.where(live, _rotate(keys, bits), _MAX_U64)
+    deadflag = (~live).astype(jnp.int32)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    krot_s, _, perm = jax.lax.sort((krot, deadflag, iota), num_keys=2)
+    B = 1 << bits
+    edges = (jnp.arange(B, dtype=jnp.uint64) << jnp.uint64(64 - bits))
+    starts = jnp.searchsorted(krot_s, edges, side="left",
+                              method="sort").astype(jnp.int32)
+    starts = jnp.minimum(starts, n)
+    ends = jnp.concatenate([starts[1:], n.reshape(1)])
+    cnts = ends - starts
+    return krot_s, perm, starts, cnts, jnp.max(cnts)
+
+
+@partial(jax.jit, static_argnames=("bits",))
 def _prep_side(keys: jax.Array, vals: jax.Array, n: jax.Array, bits: int):
     """Sort one side by (rotated key, liveness) carrying the value
     columns; derive per-bucket starts/counts and the max occupancy.
@@ -451,7 +481,8 @@ def _merge_on_sorted(kb, vb, n_b, kp, vp, n_p):
 
 @partial(jax.jit, static_argnames=("bits", "SPb", "SPp", "limbs"))
 def radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
-                       bits: int, SPb: int, SPp: int, limbs: int):
+                       bits: int, SPb: int, SPp: int, limbs: int,
+                       prep_b=None, prep_p=None):
     """Sync-free fused radix join: slot widths are STATIC (picked from
     the padded input sizes by `static_radix_plan`), and the data-
     dependent occupancy check runs on device — a bucket that outgrows
@@ -460,12 +491,25 @@ def radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
     the host.  This is what lets the radix path inline into whole-query
     compiled programs (engine/compiled.py) with zero extra RTTs.
 
+    `prep_b`/`prep_p`: a side's prep-time artifacts
+    (krot_sorted, starts, cnts, max_occ) from `radix_prep_keys` with
+    MATCHING bits; that side's vals_* must then be the PRE-SORTED
+    [V, P] stack (engine device_radix_val) and its keys_* is ignored
+    (XLA DCEs it).  The query-time sort for that side disappears.
+
     Returns (count, sums_build [V], sums_probe [V]) — exact wrap-around
     uint64, the agg_join contract."""
     n_b = jnp.int32(n_b)
     n_p = jnp.int32(n_p)
-    kb, vb, st_b, ct_b, mo_b = _prep_side(keys_b, vals_b, n_b, bits)
-    kp, vp, st_p, ct_p, mo_p = _prep_side(keys_p, vals_p, n_p, bits)
+
+    def side(keys, vals, n, pre):
+        if pre is None:
+            return _prep_side(keys, vals, n, bits)
+        krot_s, st, ct, mo = pre
+        return krot_s, vals, st, ct, mo
+
+    kb, vb, st_b, ct_b, mo_b = side(keys_b, vals_b, n_b, prep_b)
+    kp, vp, st_p, ct_p, mo_p = side(keys_p, vals_p, n_p, prep_p)
     # The window inside a padded bucket row is [start % ALIGN,
     # start % ALIGN + cnt); worst-case head offset is ALIGN-1.
     overflow = (mo_b > jnp.int32(SPb - ALIGN)) | (mo_p > jnp.int32(SPp - ALIGN))
@@ -480,6 +524,28 @@ def radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
     return jax.lax.cond(overflow, merge, radix, None)
 
 
+def radix_member_selected(Pb: int, Pp: int, algo: str,
+                          has_table: bool = False) -> bool:
+    """Host-side mirror of `fused_join_auto`'s member selection: True
+    iff the Pallas radix member would run for these padded sizes.  Lets
+    prep/engines decide statically whether radix artifacts will be
+    consumed."""
+    if has_table and algo != "radix":
+        return False
+    if algo == "sort":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    return algo == "radix" or (
+        algo == "auto" and on_tpu and max(Pb, Pp) >= RADIX_MIN_ROWS)
+
+
+def plan_bits(Pb: int) -> int:
+    """The radix width `static_radix_plan` picks for a build side of
+    padded size Pb — exposed so prep can build bits-matching artifacts
+    (radix_prep_keys) per base column."""
+    return max(6, min(14, (max(Pb // 512, 1) - 1).bit_length()))
+
+
 def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
     """Data-independent sizing for `radix_fused_static`: bits targets
     ~512 expected build rows per bucket, and each side's slot width
@@ -488,7 +554,7 @@ def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
     fallback branch, never correctness and never a host round-trip."""
     from ..utils.padding import size_class
 
-    bits = max(6, min(14, (max(Pb // 512, 1) - 1).bit_length()))
+    bits = plan_bits(Pb)
     B = 1 << bits
 
     def sp(P: int) -> int:
@@ -501,7 +567,9 @@ def static_radix_plan(Pb: int, Pp: int) -> Tuple[int, int, int]:
 
 def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                     algo: str = "auto", key32: bool = False,
-                    presorted=None, table=None, table_prefs=None):
+                    presorted=None, table=None, table_prefs=None,
+                    radix_pre_b=None, radix_vals_b=None,
+                    radix_pre_p=None, radix_vals_p=None):
     """The engine's fused-final-join entry: size-dispatched member of
     the join family (VERDICT r1 #1).
 
@@ -526,6 +594,12 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     device_prefix_table) — upgrades the table member to PROBE-ONLY
     query-time work (the strongest member: zero build-side
     gathers/cumsums at query time; vals_b is then unused, may be None).
+    `radix_pre_*` + `radix_vals_*`: a side's prep-time radix artifacts
+    ((krot_sorted, starts, cnts, max_occ) from radix_prep_keys with
+    bits == plan_bits(Pb) — the CALLER checks the match) and its
+    pre-sorted [V, P] value stack (device_radix_val); consumed only
+    when the radix member is selected, so callers pass both
+    representations and XLA DCEs the loser's operands.
     """
     from .agg_join import (join_checksum_fused,
                            join_checksum_fused_presorted,
@@ -555,16 +629,17 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                                    keys_p, vals_p, jnp.int32(n_p),
                                    key32=key32)
     bits, SPb, SPp = static_radix_plan(keys_b.shape[0], keys_p.shape[0])
+    vb = vals_b if radix_pre_b is None else radix_vals_b
+    vp = vals_p if radix_pre_p is None else radix_vals_p
+    kw = dict(bits=bits, SPb=SPb, SPp=SPp, limbs=1 if key32 else 2,
+              prep_b=radix_pre_b, prep_p=radix_pre_p)
     if not on_tpu:
         # Forced radix off-TPU (tests): the REAL kernel pipeline under
         # Pallas interpret mode.
         with pltpu.force_tpu_interpret_mode():
-            return radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p,
-                                      n_p, bits=bits, SPb=SPb, SPp=SPp,
-                                      limbs=1 if key32 else 2)
-    return radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
-                              bits=bits, SPb=SPb, SPp=SPp,
-                              limbs=1 if key32 else 2)
+            return radix_fused_static(keys_b, vb, n_b, keys_p, vp, n_p,
+                                      **kw)
+    return radix_fused_static(keys_b, vb, n_b, keys_p, vp, n_p, **kw)
 
 
 def choose_bits(n_build: int, n_probe: int) -> int:

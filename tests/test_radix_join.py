@@ -201,3 +201,78 @@ def test_fused_join_auto_off_tpu_is_sort():
     got = (int(count), [int(s) & _MASK64 for s in np.asarray(sums_b)],
            [int(s) & _MASK64 for s in np.asarray(sums_p)])
     assert got == _oracle(bk, bv, pk, pv)
+
+
+def test_static_radix_prep_artifacts_match_unprepped():
+    """radix_fused_static with prep-time artifacts (radix_prep_keys +
+    pre-sorted value stacks) must be bit-identical to the in-program
+    _prep_side path — both sides prepped, one side prepped, none."""
+    from sigmod2018_tpu.ops.radix_join import radix_prep_keys
+
+    rng = np.random.default_rng(21)
+    pad_to = 4096
+    bk = rng.integers(0, 500, 3000, dtype=np.uint64)
+    bv = [rng.integers(0, 1 << 40, 3000, dtype=np.uint64)]
+    pk = rng.integers(0, 500, 3200, dtype=np.uint64)
+    pv = [rng.integers(0, 1 << 40, 3200, dtype=np.uint64)]
+
+    def pad(a):
+        out = np.zeros(pad_to, dtype=np.uint64)
+        out[: a.size] = a
+        return jnp.asarray(out)
+
+    bits, SPb, SPp = static_radix_plan(pad_to, pad_to)
+    kb, vb = pad(bk), jnp.stack([pad(v) for v in bv])
+    kp, vp = pad(pk), jnp.stack([pad(v) for v in pv])
+
+    def prep(keys, vals, n):
+        krot_s, perm, st, ct, mo = radix_prep_keys(keys, jnp.int32(n), bits)
+        return (krot_s, st, ct, mo), jnp.take(vals, perm, axis=1)
+
+    pre_b, vb_s = prep(kb, vb, bk.size)
+    pre_p, vp_s = prep(kp, vp, pk.size)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = radix_fused_static(kb, vb, bk.size, kp, vp, pk.size,
+                                  bits=bits, SPb=SPb, SPp=SPp, limbs=2)
+        both = radix_fused_static(kb, vb_s, bk.size, kp, vp_s, pk.size,
+                                  bits=bits, SPb=SPb, SPp=SPp, limbs=2,
+                                  prep_b=pre_b, prep_p=pre_p)
+        build_only = radix_fused_static(kb, vb_s, bk.size, kp, vp, pk.size,
+                                        bits=bits, SPb=SPb, SPp=SPp,
+                                        limbs=2, prep_b=pre_b)
+    for got in (both, build_only):
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_engine_uses_radix_artifacts_bit_exact(tmp_path, monkeypatch):
+    """CompiledEngine end-to-end with prep radix artifacts: key tables
+    gated off + radix threshold lowered, forced radix member (interpret
+    mode on CPU) — artifacts must be built, threaded, and bit-exact."""
+    import sigmod2018_tpu.ops.radix_join as rj
+    from sigmod2018_tpu.config import EngineConfig
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+    from sigmod2018_tpu.engine.oracle import execute_query_numpy
+    from sigmod2018_tpu.frontend.parser import parse_query
+    from sigmod2018_tpu.storage.catalog import Catalog
+    from sigmod2018_tpu.storage.relation import Relation, store_relation
+
+    monkeypatch.setattr(rj, "RADIX_MIN_ROWS", 512)
+    monkeypatch.setenv("S18_PREP_CACHE", str(tmp_path / "prep"))
+    rng = np.random.default_rng(23)
+    paths = []
+    for i, n in enumerate((900, 700)):
+        cols = [rng.integers(0, 300, size=n).astype(np.uint64)
+                for _ in range(3)]
+        p = tmp_path / f"r{i}"
+        store_relation(Relation(columns=cols), str(p))
+        paths.append(str(p))
+    cat = Catalog.from_files(paths)
+    eng = CompiledEngine(cat, EngineConfig(join_algo="radix",
+                                           key_table_max=0))
+    eng.prefetch()
+    assert eng.device_radix_keys(0, 0) is not None, \
+        "prep must build radix artifacts under the lowered threshold"
+    q = parse_query("0 1|0.0=1.0|0.1 1.2")
+    assert eng.execute(q) == execute_query_numpy(q, cat)

@@ -53,7 +53,7 @@ def vault_env(tmp_path, monkeypatch):
 
 def _vault_files(tmp_path):
     base = tmp_path / "prep"
-    return [p for d in base.glob("vault-*") for p in d.glob("*.jexp")]
+    return [p for d in base.glob("vault*") for p in d.glob("*.jexp")]
 
 
 def test_vault_build_restore_bit_exact(vault_env, tmp_path):
