@@ -38,6 +38,14 @@ def gen_relation(rng, rows: int, cols: int, profile: str, keyspace: int,
             # rank tables, config.key_table_max) are impossible, so the
             # at-scale join path is the Pallas radix member.
             col = lut[rng.integers(0, keyspace, size=rows)]
+        elif profile == "zipfbig":
+            # Heavy-hitter ranks over the huge domain: at radix scale
+            # the hot buckets overflow their static slots, so this
+            # exercises the on-device overflow cond's merge branch and
+            # the skew machinery end-to-end.
+            ranks = np.minimum(rng.zipf(1.3, size=rows),
+                               keyspace).astype(np.int64) - 1
+            col = lut[ranks]
         else:
             col = rng.integers(0, keyspace, size=rows, dtype=np.uint64)
         data.append(col)
@@ -68,7 +76,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--profile", default="uniform",
-                    choices=["uniform", "zipf", "scaled", "bigdom"])
+                    choices=["uniform", "zipf", "scaled", "bigdom", "zipfbig"])
     ap.add_argument("--domain", type=int, default=1 << 40,
                     help="bigdom: value domain the keyspace distinct "
                          "keys are spread over")
@@ -91,7 +99,7 @@ def main() -> None:
     rows = args.rows * (args.scale if args.profile == "scaled" else 1)
 
     lut = None
-    if args.profile == "bigdom":
+    if args.profile in ("bigdom", "zipfbig"):
         # replace=False over a 2^40 population is infeasible; oversample
         # and unique (collision odds ~(2k)^2/domain — negligible).
         lut = np.unique(rng.integers(0, args.domain, size=2 * args.keyspace,
