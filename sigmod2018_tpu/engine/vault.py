@@ -43,6 +43,19 @@ import jax
 
 _CAP = 512  # max vault files per directory; oldest beyond this are pruned
 
+_REMOTE_COMPILE_GATE = threading.Lock()
+
+
+class _Null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+_NULL_GATE = _Null()
+
 
 def _env_tag() -> str:
     dev = jax.devices()[0]
@@ -132,12 +145,21 @@ class ProgramVault:
         try:
             checks = [jex.DisabledSafetyCheck.custom_call("tpu_custom_call"),
                       jex.DisabledSafetyCheck.custom_call("Sharding")]
-            exp = jex.export(jax.jit(fn), disabled_checks=checks)(*dyn)
-            blob = exp.serialize()
-            # The jitted wrapper (not an AOT Compiled) is what serves:
-            # after its first call the pjit C++ fastpath dispatches in
-            # ~0.05 ms vs ~4 ms through Compiled.__call__'s Python path.
-            prog = jax.jit(exp.call)
+            # Fresh exports on the tunneled TPU go through the remote
+            # compile service, which wedges under concurrent fresh
+            # compiles — serialize them there (no-op elsewhere: the
+            # batch pool may build distinct signatures concurrently).
+            gate = (_REMOTE_COMPILE_GATE
+                    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+                    else _NULL_GATE)
+            with gate:
+                exp = jex.export(jax.jit(fn), disabled_checks=checks)(*dyn)
+                blob = exp.serialize()
+                # The jitted wrapper (not an AOT Compiled) is what
+                # serves: after its first call the pjit C++ fastpath
+                # dispatches in ~0.05 ms vs ~4 ms through
+                # Compiled.__call__'s Python path.
+                prog = jax.jit(exp.call)
             with self._lock:
                 self._ready[key] = prog
             self._write(key, blob)
