@@ -239,6 +239,14 @@ class ProgramVault:
             with open(path, "rb") as fh:
                 blob = fh.read()
             exp = jex.deserialize(blob)
+            # Entries from ANOTHER backend (the vault dir is shared
+            # between the CPU CI runs and the TPU serving runs; the key
+            # hash encodes the platform but the filename is opaque):
+            # skip WITHOUT deleting — the zeros-run below would raise
+            # and the except branch would wipe the other platform's
+            # warm vault on every backend switch.
+            if jax.default_backend() not in exp.platforms:
+                return
             # Prime the pjit C++ fastpath with a zeros-run: the first
             # call pays trace-of-wrapper + compile (persistent-cache
             # hit) HERE, in the untimed prep window, and doubles as a

@@ -104,6 +104,35 @@ def test_vault_corrupt_file_falls_back(vault_env, tmp_path):
         for p in _vault_files(tmp_path)), "corrupt files must be dropped"
 
 
+def test_vault_foreign_platform_entries_survive(vault_env, tmp_path,
+                                                monkeypatch):
+    """The vault dir is shared between backends (CPU CI runs, TPU
+    serving runs).  A process on another backend must SKIP foreign
+    entries without deleting them — the old behavior ran the zeros-run,
+    caught the platform error, and wiped the other platform's warm
+    vault on every backend switch."""
+    import jax
+
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+    from sigmod2018_tpu.engine.vault import ProgramVault
+
+    cat = _catalog(tmp_path)
+    eng1 = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[0])
+    eng1.execute(q)
+    files = _vault_files(tmp_path)
+    assert files
+    vdir = str(files[0].parent)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    v = ProgramVault(vdir)
+    v.load_async(workers=2)
+    v.wait_loaded()
+    assert not v._ready, "foreign-platform entries must not register"
+    assert _vault_files(tmp_path) == files, \
+        "foreign-platform entries must not be deleted"
+
+
 def test_vault_disabled_by_flag(tmp_path, monkeypatch):
     from sigmod2018_tpu.engine.compiled import CompiledEngine
 
