@@ -46,6 +46,7 @@ import numpy as np
 from ..frontend.parser import FilterPred, JoinPred, Query
 from ..utils.padding import size_class
 from .executor import (
+    HARD_INTERMEDIATE_CAP,
     IntermediateBlowup,
     JaxEngine,
     NullResult,
@@ -288,8 +289,16 @@ class CompiledEngine(JaxEngine):
             return self._retry_text_order(query)
 
     def _retry_text_order(self, query: Query) -> Result:
-        # Planner misfire on skew: retry in original text order
+        # Planner misfire on skew.  Forest queries are answered exactly
+        # with zero materialization (factorized message passing —
+        # immune to intermediate blowups the planner missed); cyclic
+        # ones retry in original text order under the technical cap
         # (see executor.py).
+        from .factorized import factorized_result
+
+        res = factorized_result(self, query)
+        if res is not None:
+            return res
         try:
             return self._execute_compiled(query, use_planner=False,
                                           guard=False)
@@ -522,7 +531,8 @@ class CompiledEngine(JaxEngine):
             total = int(out)  # the one sync per intermediate join
             if total == 0:
                 return NullResult(len(query.views))
-            if guard and 0 < self.config.max_intermediate < total:
+            if (guard and 0 < self.config.max_intermediate < total) or (
+                    total > HARD_INTERMEDIATE_CAP):
                 raise IntermediateBlowup(total)
             classes = classes + (size_class(total, self.config.min_pad),)
 

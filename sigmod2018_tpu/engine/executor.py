@@ -104,6 +104,17 @@ class IntermediateBlowup(RuntimeError):
     """A planned join order produced an intermediate beyond the cap."""
 
 
+# Technical ceiling on any materialized intermediate, independent of the
+# configurable max_intermediate guard: past this, row-id tables stop
+# fitting HBM comfortably (and size classes would overflow int32 index
+# space well before 2^31).  Queries that exceed it under EVERY join
+# order are answered by the factorized path (engine/factorized.py)
+# when the join graph is a forest — the reference C engine, with no cap
+# at all, simply dies on these (its materialization is the same
+# algorithm, inter_res.c:320-389).
+HARD_INTERMEDIATE_CAP = 1 << 27
+
+
 class NullResult:
     """Known-empty early exit (host already observed a zero cardinality)."""
 
@@ -349,9 +360,15 @@ class JaxEngine:
             return self._dispatch(query, use_planner=True, guard=True)
         except IntermediateBlowup:
             # The planner's order exploded past max_intermediate (hot-key
-            # skew the estimator missed); the original text order is the
-            # safety net.  If that explodes too, run it anyway — matching
-            # the reference, which has no cap at all.
+            # skew the estimator missed).  A forest query is answered
+            # exactly WITHOUT materializing anything (factorized message
+            # passing); otherwise the original text order is the safety
+            # net, bounded by the technical cap.
+            from .factorized import factorized_result
+
+            res = factorized_result(self, query)
+            if res is not None:
+                return res
             return self._dispatch(query, use_planner=False, guard=False)
 
     def _dispatch(self, query: Query, use_planner: bool,
@@ -561,7 +578,8 @@ class JaxEngine:
                 sorted_keys, _n32(n_b), keys_p, _n32(n_p)
             )
         total = int(total_dev)  # the one required sync: sizes the emit
-        if guard and 0 < self.config.max_intermediate < total:
+        if (guard and 0 < self.config.max_intermediate < total) or (
+                total > HARD_INTERMEDIATE_CAP):
             raise IntermediateBlowup(total)
         if self.config.explain:
             import sys

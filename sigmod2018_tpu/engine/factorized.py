@@ -1,0 +1,364 @@
+"""Factorized (message-passing) aggregate execution for acyclic joins.
+
+Why this exists: every other execution path in this engine — like the
+reference C engine (inter_res.c row-id materialization, query.c:408-461)
+— materializes each intermediate join's row-id table, so a query whose
+intermediate cardinality explodes (Zipf heavy hitters: zipfbig's last
+query reaches ~5.5e11 rows in text order) cannot be answered by ANY
+join order.  But the contest output is only COUNT + per-view SUM
+checksums, and for an acyclic join graph those are computable without
+materializing anything: Yannakakis message passing over the join
+forest with (count, sum) annotations — one bottom-up and one top-down
+sweep of sort / searchsorted / prefix-sum work, O(N log N) total,
+independent of the join's output cardinality.
+
+Math: for binding b let M_b(r) = number of full result tuples whose
+b-component is base row r, computed mod 2^64 (wrap-around).  Then
+
+    checksum(b.c) = sum_r M_b(r) * col(b,c)[r]        (mod 2^64)
+
+and the result is NULL iff no full tuple exists.  M_b = up_b * down_b:
+`up` aggregates each subtree bottom-up (leaf = the binding's
+filter/liveness mask), `down` pushes the rest of the tree back down
+with per-child sibling-exclusive products.  Wrapped counts can hit 0
+mod 2^64 on astronomically large results, so emptiness rides a
+parallel boolean semiring (`exists` flags, exact), never the wrapped
+counts.  Disconnected components multiply: each component's total
+count scales every other component's checksums (the cartesian phase of
+engine/oracle.py:163-180, reference inter_res.c:391-428).
+
+Applicability: the join multigraph (after filters/self-joins fold into
+per-binding masks) must be a forest — no duplicate binding pairs, no
+cycles.  `plan_forest` returns None otherwise and callers fall back to
+the materializing engine.  This is capability the reference C engine
+does not have in any form; it exists because the TPU engine's
+sort/prefix primitives make the message-passing formulation natural.
+
+Two twin implementations share `plan_forest`:
+  * `execute_query_factorized_np` — NumPy, the independent oracle for
+    blowup queries (workload generation + differential tests);
+  * `factorized_result` — JAX on padded device columns (static shapes,
+    few distinct (Ps, Pr) jit signatures thanks to size classes),
+    returning a PendingResult for the engine's retry chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..frontend.parser import FilterPred, Query
+
+_MASK64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# Shared host-side plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _Edge:
+    parent: int
+    child: int
+    pcol: int  # join column on the parent binding
+    ccol: int  # join column on the child binding
+
+
+@dataclasses.dataclass(frozen=True)
+class ForestPlan:
+    nodes: Tuple[int, ...]           # all participating bindings
+    comps: Tuple[Tuple[int, ...], ...]  # bindings per connected component
+    roots: Tuple[int, ...]           # one root per component
+    # BFS-ordered edges per component (parents precede children)
+    edges: Tuple[Tuple[_Edge, ...], ...]
+
+
+def plan_forest(query: Query) -> Optional[ForestPlan]:
+    """The join forest, or None when the join multigraph has a duplicate
+    binding pair or a cycle (the materializing engine handles those)."""
+    joins = query.joins
+    nodes = set(b for b, _ in query.views)
+    for p in query.filters_and_selfjoins:
+        nodes.add(p.binding if isinstance(p, FilterPred) else p.binding1)
+    adj: Dict[int, List[Tuple[int, int, int]]] = {}
+    seen_pairs = set()
+    parent_uf: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent_uf.setdefault(x, x) != x:
+            parent_uf[x] = parent_uf[parent_uf[x]]
+            x = parent_uf[x]
+        return x
+
+    for jp in joins:
+        if jp.binding1 == jp.binding2:  # defensive: parser routes these
+            return None                 # to filters_and_selfjoins
+        pair = jp.pair()
+        if pair in seen_pairs:
+            return None  # multi-edge (compound key): not a tree edge
+        seen_pairs.add(pair)
+        r1, r2 = find(jp.binding1), find(jp.binding2)
+        if r1 == r2:
+            return None  # cycle
+        parent_uf[r1] = r2
+        nodes.add(jp.binding1)
+        nodes.add(jp.binding2)
+        adj.setdefault(jp.binding1, []).append(
+            (jp.binding2, jp.column1, jp.column2))
+        adj.setdefault(jp.binding2, []).append(
+            (jp.binding1, jp.column2, jp.column1))
+
+    comps: List[Tuple[int, ...]] = []
+    roots: List[int] = []
+    all_edges: List[Tuple[_Edge, ...]] = []
+    visited = set()
+    for start in sorted(nodes):
+        if start in visited:
+            continue
+        comp, edges, frontier = [start], [], [start]
+        visited.add(start)
+        while frontier:
+            u = frontier.pop()
+            for v, ucol, vcol in adj.get(u, ()):
+                if v in visited:
+                    continue
+                visited.add(v)
+                comp.append(v)
+                edges.append(_Edge(parent=u, child=v, pcol=ucol, ccol=vcol))
+                frontier.append(v)
+        comps.append(tuple(comp))
+        roots.append(start)
+        all_edges.append(tuple(edges))
+    return ForestPlan(nodes=tuple(sorted(nodes)), comps=tuple(comps),
+                      roots=tuple(roots), edges=tuple(all_edges))
+
+
+# ---------------------------------------------------------------------------
+# NumPy twin — the independent oracle for blowup queries
+# ---------------------------------------------------------------------------
+
+
+def _np_msg(sk: np.ndarray, sw: np.ndarray, se: np.ndarray,
+            rk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-receiver-row (sum of sender weights, any sender exists) over
+    key equality: group-by via sort + prefix sums, no materialization."""
+    order = np.argsort(sk, kind="stable")
+    ks = sk[order]
+    pw = np.concatenate([[np.uint64(0)],
+                         np.cumsum(sw[order], dtype=np.uint64)])
+    pe = np.concatenate([[0], np.cumsum(se[order].astype(np.int64))])
+    lo = np.searchsorted(ks, rk, side="left")
+    hi = np.searchsorted(ks, rk, side="right")
+    return pw[hi] - pw[lo], (pe[hi] - pe[lo]) > 0
+
+
+def execute_query_factorized_np(query: Query, catalog) -> Optional[str]:
+    """Exact result line via NumPy message passing, or None when the
+    query is not a forest.  Differentially equal to
+    oracle.execute_query_numpy wherever the latter can materialize."""
+    plan = plan_forest(query)
+    if plan is None:
+        return None
+
+    def col(b: int, c: int) -> np.ndarray:
+        return np.asarray(catalog.column(query.relations[b], c),
+                          dtype=np.uint64)
+
+    # Per-binding masks: filters + self-joins (oracle phase 1).
+    mask: Dict[int, np.ndarray] = {}
+    for b in plan.nodes:
+        n = catalog.relation(query.relations[b]).num_tuples
+        mask[b] = np.ones(n, dtype=bool)
+    for p in query.filters_and_selfjoins:
+        if isinstance(p, FilterPred):
+            vals = col(p.binding, p.column)
+            v = np.uint64(p.value & _MASK64)
+            m = (vals < v if p.op == "<"
+                 else vals > v if p.op == ">" else vals == v)
+            mask[p.binding] &= m
+        else:
+            mask[p.binding1] &= (col(p.binding1, p.column1)
+                                 == col(p.binding1, p.column2))
+
+    if not all(mask[b].any() for b in plan.nodes):
+        return " ".join("NULL" for _ in query.views)
+
+    up_w = {b: mask[b].astype(np.uint64) for b in plan.nodes}
+    up_e = {b: mask[b].copy() for b in plan.nodes}
+    msg_w: Dict[_Edge, np.ndarray] = {}
+    msg_e: Dict[_Edge, np.ndarray] = {}
+    down_w: Dict[int, np.ndarray] = {}
+    down_e: Dict[int, np.ndarray] = {}
+
+    for comp, root, edges in zip(plan.comps, plan.roots, plan.edges):
+        for e in reversed(edges):  # children complete before parents
+            mw, me = _np_msg(col(e.child, e.ccol), up_w[e.child],
+                             up_e[e.child], col(e.parent, e.pcol))
+            msg_w[e], msg_e[e] = mw, me
+            up_w[e.parent] = up_w[e.parent] * mw
+            up_e[e.parent] &= me
+        down_w[root] = np.ones_like(up_w[root])
+        down_e[root] = np.ones_like(up_e[root])
+        for e in edges:  # parents complete before children
+            excl_w = down_w[e.parent] * mask[e.parent].astype(np.uint64)
+            excl_e = down_e[e.parent] & mask[e.parent]
+            for sib in edges:
+                if sib.parent == e.parent and sib is not e:
+                    excl_w = excl_w * msg_w[sib]
+                    excl_e &= msg_e[sib]
+            dmw, dme = _np_msg(col(e.parent, e.pcol), excl_w, excl_e,
+                               col(e.child, e.ccol))
+            down_w[e.child], down_e[e.child] = dmw, dme
+
+    cnt_w = [np.add.reduce(up_w[r], dtype=np.uint64) for r in plan.roots]
+    exists = all(bool(up_e[r].any()) for r in plan.roots)
+    if not exists:
+        return " ".join("NULL" for _ in query.views)
+
+    comp_of = {b: i for i, comp in enumerate(plan.comps) for b in comp}
+    sums = []
+    for b, c in query.views:
+        m = up_w[b] * down_w[b]
+        s = np.add.reduce(m * col(b, c), dtype=np.uint64)
+        for i, cw in enumerate(cnt_w):
+            if i != comp_of[b]:
+                s = s * cw
+        sums.append(str(int(s) & _MASK64))
+    return " ".join(sums)
+
+
+# ---------------------------------------------------------------------------
+# JAX executor on padded device columns
+# ---------------------------------------------------------------------------
+
+
+def _jax_ops():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+def _msg_jit_factory():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @jax.jit
+    def msg(sk, sw, se, rk):
+        """[Ps] sender keys/weights/exists, [Pr] receiver keys ->
+        ([Pr] u64 sum, [Pr] i32 count>0).  Dead/padded sender rows carry
+        weight 0 and exists 0 (liveness folded into the mask), so no
+        live-length arguments are needed; duplicate-run-safe searchsorted
+        (method="sort" — the TPU degeneracy rule, see
+        ops/sort_join.py docstring)."""
+        # one variadic sort carries both payloads
+        ks, sw_s, se_s = jax.lax.sort((sk, sw, se), num_keys=1)
+        pw = jnp.concatenate([jnp.zeros(1, jnp.uint64),
+                              jnp.cumsum(sw_s, dtype=jnp.uint64)])
+        pe = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(se_s.astype(jnp.int32))])
+        lo = jnp.searchsorted(ks, rk, side="left", method="sort")
+        hi = jnp.searchsorted(ks, rk, side="right", method="sort")
+        return pw[hi] - pw[lo], ((pe[hi] - pe[lo]) > 0).astype(jnp.int32)
+
+    return msg
+
+
+_MSG_JIT = None
+
+
+def factorized_result(engine, query: Query):
+    """Execute `query` on `engine`'s device columns via message passing.
+    Returns a PendingResult ([exists, sums...] packed vector — the
+    count slot only gates NULL formatting, so it carries the exact
+    boolean, immune to mod-2^64 wrap), or None when not a forest."""
+    global _MSG_JIT
+    plan = plan_forest(query)
+    if plan is None:
+        return None
+    jax, jnp = _jax_ops()
+    if _MSG_JIT is None:
+        _MSG_JIT = _msg_jit_factory()
+    msg = _MSG_JIT
+    from .executor import PendingResult
+
+    cols: Dict[Tuple[int, int], Tuple] = {}
+
+    def col(b: int, c: int):
+        key = (b, c)
+        if key not in cols:
+            cols[key] = engine.device_column(query.relations[b], c)
+        return cols[key]
+
+    mask: Dict[int, object] = {}
+    for b in plan.nodes:
+        dev, n = col(b, 0)
+        live = jnp.arange(dev.shape[0], dtype=jnp.int32) < jnp.int32(n)
+        mask[b] = live
+    for p in query.filters_and_selfjoins:
+        if isinstance(p, FilterPred):
+            dev, _ = col(p.binding, p.column)
+            v = jnp.uint64(p.value & _MASK64)
+            m = (dev < v if p.op == "<"
+                 else dev > v if p.op == ">" else dev == v)
+            mask[p.binding] = mask[p.binding] & m
+        else:
+            d1, _ = col(p.binding1, p.column1)
+            d2, _ = col(p.binding1, p.column2)
+            mask[p.binding1] = mask[p.binding1] & (d1 == d2)
+
+    # Early exit: an empty mask anywhere means NULL (its component's
+    # count is 0).  One batched sync beats running every message sort —
+    # the common blowup shape is "hot-key joins + a selective filter"
+    # (zipfbig), where exactly this fires.
+    from .executor import NullResult
+
+    alive = np.asarray(jnp.stack([jnp.any(mask[b]) for b in plan.nodes]))
+    if not alive.all():
+        return NullResult(len(query.views))
+
+    up_w = {b: mask[b].astype(jnp.uint64) for b in plan.nodes}
+    up_e = {b: mask[b].astype(jnp.int32) for b in plan.nodes}
+    msg_w: Dict[_Edge, object] = {}
+    msg_e: Dict[_Edge, object] = {}
+    down_w: Dict[int, object] = {}
+    down_e: Dict[int, object] = {}
+
+    for comp, root, edges in zip(plan.comps, plan.roots, plan.edges):
+        for e in reversed(edges):
+            mw, me = msg(col(e.child, e.ccol)[0], up_w[e.child],
+                         up_e[e.child], col(e.parent, e.pcol)[0])
+            msg_w[e], msg_e[e] = mw, me
+            up_w[e.parent] = up_w[e.parent] * mw
+            up_e[e.parent] = up_e[e.parent] * me
+        down_w[root] = jnp.ones_like(up_w[root])
+        down_e[root] = jnp.ones_like(up_e[root])
+        for e in edges:
+            excl_w = down_w[e.parent] * mask[e.parent].astype(jnp.uint64)
+            excl_e = down_e[e.parent] * mask[e.parent].astype(jnp.int32)
+            for sib in edges:
+                if sib.parent == e.parent and sib is not e:
+                    excl_w = excl_w * msg_w[sib]
+                    excl_e = excl_e * msg_e[sib]
+            dmw, dme = msg(col(e.parent, e.pcol)[0], excl_w, excl_e,
+                           col(e.child, e.ccol)[0])
+            down_w[e.child], down_e[e.child] = dmw, dme
+
+    cnt_w = [jnp.sum(up_w[r], dtype=jnp.uint64) for r in plan.roots]
+    exists = jnp.ones((), jnp.int32)
+    for r in plan.roots:
+        exists = exists * (jnp.max(up_e[r]) > 0).astype(jnp.int32)
+
+    comp_of = {b: i for i, comp in enumerate(plan.comps) for b in comp}
+    parts = [exists.astype(jnp.uint64).reshape(1)]
+    for b, c in query.views:
+        m = up_w[b] * down_w[b]
+        s = jnp.sum(m * col(b, c)[0], dtype=jnp.uint64)
+        for i, cw in enumerate(cnt_w):
+            if i != comp_of[b]:
+                s = s * cw
+        parts.append(s.reshape(1))
+    return PendingResult(jnp.concatenate(parts), len(query.views))
