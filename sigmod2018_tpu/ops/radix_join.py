@@ -351,24 +351,17 @@ def _round_tile(s: int, cap: int) -> int:
     return max(t, 1)
 
 
-def _counts_all_groups(kb_mat, kp_mat, st_b, ct_b, st_p, ct_p, B, SPb, SPp,
-                       limbs: int):
-    """Transpose to [S, B] lane-major, split the lane axis into VMEM-
-    sized super-groups, run the streaming kernel per group."""
-    bh_t = kb_mat[0].T
-    bl_t = kb_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
-    ph_t = kp_mat[0].T
-    pl_t = kp_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
-
-    off_b = (st_b % ALIGN).astype(jnp.int32)
-    off_p = (st_p % ALIGN).astype(jnp.int32)
-    maskb = jnp.stack([off_b, off_b + ct_b])          # [2, B]
-    maskp = jnp.stack([off_p, off_p + ct_p])
-
-    lanes_per = max(128, (VMEM_SLOT_BUDGET // max(SPb, 1)) // 128 * 128)
+def _counts_grouped(bh_t, bl_t, maskb, maskp, ph_t, pl_t, B, Sb, SPp,
+                    limbs: int):
+    """Split the lane axis into VMEM-sized super-groups and run the
+    streaming kernel per group.  Inputs are lane-major [S, B] limb
+    matrices plus explicit [2, B] window masks (offset, offset+count) —
+    shared by the radix member (windows from slot-fill alignment) and
+    the equi-depth member (windows from exact reshape + halo)."""
+    lanes_per = max(128, (VMEM_SLOT_BUDGET // max(Sb, 1)) // 128 * 128)
     lanes_per = min(lanes_per, B)
     TI = _round_tile(SPp, 16)
-    TJ = _round_tile(SPb, 16)
+    TJ = _round_tile(Sb, 16)
 
     mcs, pcs = [], []
     for g0 in range(0, B, lanes_per):
@@ -380,9 +373,25 @@ def _counts_all_groups(kb_mat, kp_mat, st_b, ct_b, st_p, ct_p, B, SPb, SPp,
             TI, TJ, limbs)
         mcs.append(mc_g)
         pcs.append(pc_g)
-    mc = jnp.concatenate(mcs, axis=1).T  # [B, SPb]
+    mc = jnp.concatenate(mcs, axis=1).T  # [B, Sb]
     pc = jnp.concatenate(pcs, axis=1).T  # [B, SPp]
     return mc, pc
+
+
+def _counts_all_groups(kb_mat, kp_mat, st_b, ct_b, st_p, ct_p, B, SPb, SPp,
+                       limbs: int):
+    """Radix-member wrapper: windows from the slot-fill ALIGN offsets."""
+    bh_t = kb_mat[0].T
+    bl_t = kb_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
+    ph_t = kp_mat[0].T
+    pl_t = kp_mat[1].T if limbs == 2 else jnp.zeros((1, B), jnp.uint32)
+
+    off_b = (st_b % ALIGN).astype(jnp.int32)
+    off_p = (st_p % ALIGN).astype(jnp.int32)
+    maskb = jnp.stack([off_b, off_b + ct_b])          # [2, B]
+    maskp = jnp.stack([off_p, off_p + ct_p])
+    return _counts_grouped(bh_t, bl_t, maskb, maskp, ph_t, pl_t,
+                           B, SPb, SPp, limbs)
 
 
 # ---------------------------------------------------------------------------
@@ -605,6 +614,20 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                            join_checksum_fused_presorted,
                            join_checksum_fused_table,
                            join_checksum_fused_table_pref)
+
+    if algo == "qd":
+        # Equi-depth member (ops/qd_join.py), forced via S18_JOIN=qd:
+        # zero-padding build partition + the shared streaming kernel.
+        from .qd_join import qd_fused_static, qd_static_plan
+
+        SPb, H, SPp = qd_static_plan(keys_b.shape[0], keys_p.shape[0])
+        kw = dict(SPb=SPb, H=H, SPp=SPp, limbs=1 if key32 else 2)
+        if jax.default_backend() != "tpu":
+            with pltpu.force_tpu_interpret_mode():
+                return qd_fused_static(keys_b, vals_b, n_b,
+                                       keys_p, vals_p, n_p, **kw)
+        return qd_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
+                               **kw)
 
     if table is not None and algo != "radix":
         cumcnt, perm = table
