@@ -52,7 +52,7 @@ def gen_relation(rng, rows: int, cols: int, profile: str, keyspace: int,
     return Relation(columns=data)
 
 
-def gen_query(rng, num_relations: int, lut=None) -> str:
+def gen_query(rng, num_relations: int, lut=None, sample_const=None) -> str:
     nrel = int(rng.integers(2, 5))
     bindings = rng.integers(0, num_relations, size=nrel)
     preds = []
@@ -61,8 +61,12 @@ def gen_query(rng, num_relations: int, lut=None) -> str:
     if rng.random() < 0.8:
         op = rng.choice(["<", ">", "="])
         # bigdom: constants must come from the value domain or every
-        # filter is degenerate (values sit near 2^40).
-        const = (int(rng.choice(lut)) if lut is not None
+        # filter is degenerate (values sit near 2^40).  zipfbig goes
+        # further (sample_const): constants are drawn from the DATA, so
+        # hot values are proportionally likely and equality filters
+        # select real row sets instead of the lut's never-present tail.
+        const = (sample_const() if sample_const is not None
+                 else int(rng.choice(lut)) if lut is not None
                  else int(rng.integers(1, 1000)))
         preds.append(f"{rng.integers(0,nrel)}.{rng.integers(0,3)}{op}{const}")
     views = " ".join(
@@ -114,20 +118,38 @@ def main() -> None:
         init_lines.append(f"r{i}")
     (out / f"{name}.init").write_text("\n".join(init_lines) + "\n")
 
+    from sigmod2018_tpu.engine.factorized import execute_query_factorized_np
     from sigmod2018_tpu.engine.oracle import OracleOverflow
 
     catalog = Catalog(rels)
     cap = args.cap or max(2_000_000, rows * 50)
+    sample_const = None
+    if args.profile == "zipfbig":
+        # Constants from the data itself: hot values are proportionally
+        # likely, so filters select real row sets and blowup queries
+        # (answered by the factorized oracle below) are first-class
+        # fixture content instead of being regenerated away.
+        pool = np.concatenate([c[rng.integers(0, len(c), size=4096)]
+                               for r in rels for c in r.columns])
+        sample_const = lambda: int(rng.choice(pool))  # noqa: E731
     work, results = [], []
     for qi in range(args.queries):
         while True:  # regenerate queries whose results explode
-            qtext = gen_query(rng, args.relations, lut)
+            qtext = gen_query(rng, args.relations, lut, sample_const)
             try:
                 res = execute_query_numpy(parse_query(qtext), catalog,
                                           max_rows=cap)
                 break
             except OracleOverflow:
-                continue
+                # Materialization-infeasible: exact answer via the
+                # factorized twin when the join graph is a forest —
+                # these are the queries the reference C engine cannot
+                # answer at all.
+                res = execute_query_factorized_np(parse_query(qtext),
+                                                  catalog)
+                if res is not None:
+                    break
+                continue  # cyclic blowup: regenerate
         work.append(qtext)
         results.append(res)
         if (qi + 1) % args.batch == 0:

@@ -173,6 +173,24 @@ def main() -> None:
         return O.join_checksum_fused_table_pref(tbl, prefs, pk2, pv,
                                                 jnp.int32(n))
 
+    # Equi-depth member (ops/qd_join.py): same inputs as the radix
+    # member; report its kernel stage separately too.
+    from sigmod2018_tpu.ops import qd_join as qd
+
+    SPbq, Hq, SPpq = qd.qd_static_plan(n, n)
+    Bq = n // SPbq
+
+    def qd_member():
+        return qd.qd_fused_static(bk, bv, n, pk, pv, n, SPb=SPbq, H=Hq,
+                                  SPp=SPpq, limbs=1)
+
+    t_qd = devtime(qd_member, iters=3)
+    qd_pairs = float(Bq) * SPpq * (SPbq + Hq)
+    print(f"qd member e2e:   {t_qd * 1e3:8.2f} ms   "
+          f"{2 * n / t_qd / 1e6:6.1f} Mrows/s   ({sol / t_qd * 100:.1f}% "
+          f"of SOL)  [B={Bq} x {SPbq}+{Hq} build, {SPpq} probe slots; "
+          f"{qd_pairs / 1e9:.1f} G pairs]")
+
     for name, f in (("sort member (key32)", sort_member),
                     ("table member", table_member),
                     ("table+pref member", table_pref_member)):
