@@ -50,9 +50,15 @@ def _fused_from_sorted(sk: jax.Array, perm: jax.Array,
     # ONE searchsorted for both range edges (see ops/sort_join.py:
     # side="right" at k == side="left" at k+1 for integer keys; dtype-max
     # pins its right edge to n_build).  method="sort": duplicate-run
-    # degeneracy, ops/sort_join.py.
-    both = jnp.searchsorted(sk, jnp.concatenate([pk, pk + 1]),
-                            side="left", method="sort")
+    # degeneracy, ops/sort_join.py.  u64 keys rank via two stable u32
+    # limb passes (ops/lsd.py — the u64 sort comparator is ~20x u32).
+    if sk.dtype == jnp.uint64:
+        from .lsd import ranks_u64
+
+        both = ranks_u64(sk, jnp.concatenate([pk, pk + 1]), side="left")
+    else:
+        both = jnp.searchsorted(sk, jnp.concatenate([pk, pk + 1]),
+                                side="left", method="sort")
     lo = jnp.minimum(both[:Pp], n_build)
     hi = jnp.where(pk == maxv, n_build, jnp.minimum(both[Pp:], n_build))
     live_p = jnp.arange(Pp, dtype=jnp.int32) < n_probe
@@ -75,13 +81,17 @@ def join_checksum_fused(build_keys: jax.Array, build_cols: jax.Array,
     lowering on TPU, bit-identical results (see ops/sort_join.py)."""
     Pb = build_keys.shape[0]
     live_b = jnp.arange(Pb, dtype=jnp.int32) < n_build
+    iota = jnp.arange(Pb, dtype=jnp.int32)
     if key32:
         k = jnp.where(live_b, build_keys.astype(jnp.uint32),
                       jnp.uint32(0xFFFFFFFF))
+        sk, perm = jax.lax.sort((k, iota), num_keys=1, is_stable=True)
     else:
+        from .lsd import sort_u64_with
+
         k = jnp.where(live_b, build_keys, _PAD_KEY)
-    perm = jnp.argsort(k).astype(jnp.int32)
-    return _fused_from_sorted(k[perm], perm, build_cols, n_build,
+        sk, perm = sort_u64_with(k, (iota,))
+    return _fused_from_sorted(sk, perm, build_cols, n_build,
                               probe_keys, probe_cols, n_probe)
 
 

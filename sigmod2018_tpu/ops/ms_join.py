@@ -1,0 +1,328 @@
+"""Merge-staircase join: banded compare over two SORTED sides.
+
+The TPU restatement of the reference's per-bucket probe
+(rhjoin.c:141-217) that finally removes the padded all-pairs work the
+radix (ops/radix_join.py) and equi-depth (ops/qd_join.py) members pay:
+
+  * Both sides are sorted by key (the partition IS the sort — as in the
+    other members), then viewed as CHUNKS: build rows [j*H, (j+1)*H),
+    probe rows [i*W, (i+1)*W).  Zero padding on BOTH sides — chunking
+    is a reshape of the sorted array.
+  * Matches for probe chunk i live only in build chunks
+    [f_i, g_i]: f_i = last chunk whose first key <= kp[i*W] and
+    g_i = last chunk whose first key <= kp[(i+1)*W - 1] (keys sorted, so
+    a match's chunk start key <= the probe key <= some chunk's range).
+    Since f and g are non-decreasing in i, the (probe chunk, build
+    chunk) pairs form a monotone STAIRCASE of length
+    T = sum(g_i - f_i + 1) ~ Pb/H + Pp/W + (output pairs)/(W*H).
+  * The kernel walks the staircase: step t compares probe chunk pi[t]
+    [1, W] against build chunk bi[t] [H, 1] — one [H, W] equality tile,
+    accumulated into per-probe-row match counts and first-match
+    positions.  pi[t] is non-decreasing, so output blocks are visited
+    in one contiguous run each (the Pallas revisiting pattern); bi[t]
+    may jump back across steps, which only re-fetches an input block.
+  * Per-element compare work is EXACTLY W + H (band width), not the
+    radix member's padded slot width (~2048 incl. 2x occupancy margin +
+    DMA ALIGN slack) — ~8x less VPU work at the measured sizes, with no
+    occupancy/multiplicity cap: a hot key simply contributes more
+    staircase steps (work stays proportional to its true output).
+
+Dynamic step count vs static shapes: the staircase arrays are computed
+on device and padded to a static T_cap; a T beyond T_cap (extreme
+blowup joins whose output exceeds ~T_cap*W*H pairs) routes through a
+searchsorted fallback branch of a `lax.cond` — on device, sync-free,
+like the other members' overflow branches.
+
+The fused contract matches ops/agg_join.py: (count, sums_build [V],
+sums_probe [V]), exact wrap-around uint64.  Values never enter the
+kernel: per-row counts are unsorted back to the original row order
+(one u32 sort by the perm — gathers are the slowest primitive on this
+hardware, a sort is not) and the weighted sums run in XLA against the
+ORIGINAL value columns.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_U64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_MAX_U32 = jnp.uint32(0xFFFFFFFF)
+_BIG = 0x7FFFFFFF  # plain int: a jnp scalar would be captured as a
+                   # pallas kernel constant, which Mosaic rejects
+
+
+# ---------------------------------------------------------------------------
+# Staircase construction (XLA, on device, static shapes)
+# ---------------------------------------------------------------------------
+
+
+def _searchsorted(hay, q, side):
+    """Dispatch: u64 keys rank via the 2-key sort trick only when big;
+    these arrays are O(P/W + P/H) small, so method="sort" is fine."""
+    return jnp.searchsorted(hay, q, side=side, method="sort")
+
+
+def _staircase(kb, kp, H: int, W: int, T_cap: int):
+    """Step arrays (pi, bi, T) for the monotone staircase.
+
+    pi is non-decreasing and clamped to its final value for t >= T, so
+    padding steps stay on the last output block (no extra DMA) and are
+    masked out inside the kernel via t < T."""
+    Pb, Pp = kb.shape[0], kp.shape[0]
+    Bb, Bp = Pb // H, Pp // W
+    qb = kb[::H]                       # [Bb] first key of each build chunk
+    k0 = kp[::W]                       # [Bp] first key of each probe chunk
+    k1 = kp[W - 1::W]                  # [Bp] last key of each probe chunk
+    # Lower bound must be the last chunk whose start is STRICTLY below
+    # k0 ("left" - 1): a k0-run can begin mid-chunk while LATER chunks
+    # also start at k0 — "right" - 1 would skip the run's head chunk.
+    f = jnp.clip(_searchsorted(qb, k0, "left").astype(jnp.int32) - 1,
+                 0, Bb - 1)
+    g = jnp.clip(_searchsorted(qb, k1, "right").astype(jnp.int32) - 1,
+                 0, Bb - 1)
+    g = jnp.maximum(g, f)
+    spans = g - f + 1                  # [Bp] >= 1
+    offs = jnp.cumsum(spans)           # inclusive
+    T = offs[-1]
+    t = jnp.arange(T_cap, dtype=jnp.int32)
+    pi = _searchsorted(offs, t, "right").astype(jnp.int32)
+    pi = jnp.minimum(pi, Bp - 1)
+    start = offs[pi] - spans[pi]
+    bi = jnp.clip(f[pi] + (t - start), 0, Bb - 1)
+    return pi, bi, T
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W: int, H: int,
+                  limbs: int):
+    """One staircase step: eq-tile [H, W] -> accumulate per-probe-row
+    counts and first-match build positions into the (1, W) output
+    blocks (revisited across this probe chunk's contiguous step run)."""
+    if limbs == 2:
+        kp_ref, kph_ref, kb_ref, kbh_ref, cnt_ref, lo_ref = refs
+    else:
+        kp_ref, kb_ref, cnt_ref, lo_ref = refs
+    t = pl.program_id(0)
+    T = sc_ref[0]
+    n_b = sc_ref[1]
+    n_p = sc_ref[2]
+    pi_t = pi_ref[t]
+    bi_t = bi_ref[t]
+    tm1 = jnp.maximum(t - 1, 0)
+    first = jnp.logical_or(t == 0, pi_ref[tm1] != pi_t)
+
+    p = kp_ref[:]                      # [1, W]
+    b = kb_ref[:]                      # [H, 1]
+    eq = b == p                        # [H, W]
+    if limbs == 2:
+        eq = jnp.logical_and(eq, kbh_ref[:] == kph_ref[:])
+    h_glob = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+              + bi_t * jnp.int32(H))
+    w_glob = (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+              + pi_t * jnp.int32(W))
+    live = ((h_glob < n_b) & (w_glob < n_p)) & (t < T)
+    eq = jnp.logical_and(eq, live)
+    c = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)   # [1, W]
+    lo = jnp.min(jnp.where(eq, h_glob, jnp.int32(_BIG)), axis=0,
+                 keepdims=True)
+
+    @pl.when(first)
+    def _init():
+        cnt_ref[:] = c
+        lo_ref[:] = lo
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        cnt_ref[:] = cnt_ref[:] + c
+        lo_ref[:] = jnp.minimum(lo_ref[:], lo)
+
+
+@partial(jax.jit, static_argnames=("W", "H", "T_cap", "limbs"))
+def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi, scal, *,
+                         W: int, H: int, T_cap: int, limbs: int):
+    Pb, Pp = kb_lo.shape[0], kp_lo.shape[0]
+    Bp = Pp // W
+    pmap = lambda t, pi_r, bi_r, sc_r: (pi_r[t], 0)      # noqa: E731
+    bmap = lambda t, pi_r, bi_r, sc_r: (bi_r[t], 0)      # noqa: E731
+    in_specs = [pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM)]
+    args = [kp_lo.reshape(Bp, W)]
+    if limbs == 2:
+        in_specs.append(pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM))
+        args.append(kp_hi.reshape(Bp, W))
+    in_specs.append(pl.BlockSpec((H, 1), bmap, memory_space=pltpu.VMEM))
+    args.append(kb_lo.reshape(Pb, 1))
+    if limbs == 2:
+        in_specs.append(pl.BlockSpec((H, 1), bmap, memory_space=pltpu.VMEM))
+        args.append(kb_hi.reshape(Pb, 1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T_cap,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM)),
+    )
+    cnt, lo = pl.pallas_call(
+        partial(_stair_kernel, W=W, H=H, limbs=limbs),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((Bp, W), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp, W), jnp.int32)),
+    )(pi, bi, scal, *args)
+    return cnt.reshape(Pp), lo.reshape(Pp)
+
+
+def _ranges_by_search(kb, n_b, kp, n_p):
+    """Fallback (and oracle): exact (cnt, lo) via two rank queries —
+    the ops/sort_join.py searchsorted contract on sorted arrays."""
+    Pp = kp.shape[0]
+    maxv = jnp.array(jnp.iinfo(kb.dtype).max, kb.dtype)
+    both = jnp.searchsorted(kb, jnp.concatenate([kp, kp + 1]),
+                            side="left", method="sort")
+    lo = jnp.minimum(both[:Pp], n_b).astype(jnp.int32)
+    hi = jnp.where(kp == maxv, n_b,
+                   jnp.minimum(both[Pp:], n_b)).astype(jnp.int32)
+    live = jnp.arange(Pp, dtype=jnp.int32) < n_p
+    cnt = jnp.where(live, hi - lo, 0)
+    return cnt, lo
+
+
+def stair_plan(Pb: int, Pp: int, W: int = 256, H: int = 256,
+               slack: float = 1.0) -> Tuple[int, int, int]:
+    """Static sizing: chunk widths (clamped to the padded sizes) and the
+    step cap.  T_cap = (1 + slack) * (Bb + Bp) tolerates an output of
+    ~slack*(Bb+Bp)*W*H extra pairs (~2^22 pairs at defaults for 2^23
+    rows/side) before the cond falls back to the searchsorted branch."""
+    W = min(W, Pp)
+    H = min(H, Pb)
+    while Pp % W:
+        W //= 2
+    while Pb % H:
+        H //= 2
+    W, H = max(W, 1), max(H, 1)
+    Bb, Bp = Pb // H, Pp // W
+    T_cap = int((Bb + Bp) * (1.0 + slack)) + 8
+    return W, H, T_cap
+
+
+@partial(jax.jit, static_argnames=("W", "H", "T_cap", "interpret"))
+def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
+                     interpret: bool = False):
+    """Per-probe-row match (cnt, lo) against the sorted build side.
+
+    kb [Pb], kp [Pp]: SORTED key arrays (u32 or u64 — same dtype), pads
+    at dtype-max behind the live prefixes n_b / n_p; liveness is decided
+    by POSITION inside the kernel, so live dtype-max keys are exact (no
+    sentinel fallback).  Returns cnt [Pp] i32 and lo [Pp] i32 (first
+    match position in the sorted build array; undefined where cnt==0),
+    both in SORTED-probe coordinates.  Sync-free: a staircase longer
+    than T_cap falls back to the searchsorted branch via lax.cond."""
+    n_b = jnp.int32(n_b)
+    n_p = jnp.int32(n_p)
+    pi, bi, T = _staircase(kb, kp, H, W, T_cap)
+    scal = jnp.stack([T, n_b, n_p])
+
+    if kb.dtype == jnp.uint64:
+        kb_lo = kb.astype(jnp.uint32)
+        kb_hi = (kb >> jnp.uint64(32)).astype(jnp.uint32)
+        kp_lo = kp.astype(jnp.uint32)
+        kp_hi = (kp >> jnp.uint64(32)).astype(jnp.uint32)
+        limbs = 2
+    else:
+        kb_lo, kb_hi = kb, kb
+        kp_lo, kp_hi = kp, kp
+        limbs = 1
+
+    def kernel(_):
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi,
+                                            pi, bi, scal, W=W, H=H,
+                                            T_cap=T_cap, limbs=limbs)
+        return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi,
+                                    scal, W=W, H=H, T_cap=T_cap,
+                                    limbs=limbs)
+
+    def fallback(_):
+        return _ranges_by_search(kb, n_b, kp, n_p)
+
+    return jax.lax.cond(T > jnp.int32(T_cap), fallback, kernel, None)
+
+
+# ---------------------------------------------------------------------------
+# Fused checksum member (the agg_join contract)
+# ---------------------------------------------------------------------------
+
+
+def _sort_keys(keys, n, key32: bool):
+    """(sorted_keys, perm): stable single-key sort — u32 single-limb
+    when key32 (catalog stats), else the native u64 comparator.  Pads
+    (position >= n) forced to dtype-max; stability keeps live dtype-max
+    keys ahead of them (the ops/sort_join.py contract)."""
+    P = keys.shape[0]
+    live = jnp.arange(P, dtype=jnp.int32) < n
+    iota = jnp.arange(P, dtype=jnp.int32)
+    if key32:
+        k = jnp.where(live, keys.astype(jnp.uint32), _MAX_U32)
+    else:
+        k = jnp.where(live, keys, _MAX_U64)
+    return jax.lax.sort((k, iota), num_keys=1, is_stable=True)
+
+
+def _unsort(perm, x):
+    """x (sorted coords) -> original coords: one u32-keyed sort (a
+    permutation is unique, so stability is irrelevant).  Replaces the
+    O(P) scatter/gather this hardware is worst at."""
+    _, out = jax.lax.sort((perm, x), num_keys=1, is_stable=False)
+    return out
+
+
+@partial(jax.jit, static_argnames=("key32", "W", "H", "interpret"))
+def ms_fused(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
+             key32: bool = False, W: int = 256, H: int = 256,
+             interpret: bool = False, presorted_b=None, presorted_p=None):
+    """Fused merge-staircase join + checksums: (count, sums_build [V],
+    sums_probe [V]), exact wrap-around uint64 (the agg_join contract).
+
+    Two staircase passes (roles swapped) give per-row counts for BOTH
+    sides; counts unsort back to original row order and weight the
+    original value columns — the kernel never touches values.
+    `presorted_*`: a side's prep-time (sorted_keys u64, perm)
+    (engine device_sorted_column) skips that side's query-time sort —
+    with both present the join runs with ZERO query-time sorts beyond
+    the two [P]-length count unsorts."""
+    n_b = jnp.int32(n_b)
+    n_p = jnp.int32(n_p)
+
+    def side(keys, n, pre):
+        if pre is None:
+            return _sort_keys(keys, n, key32)
+        sk, perm = pre
+        return (sk.astype(jnp.uint32) if key32 else sk), perm
+
+    kb_s, perm_b = side(keys_b, n_b, presorted_b)
+    kp_s, perm_p = side(keys_p, n_p, presorted_p)
+
+    Wp, Hp, Tp = stair_plan(kb_s.shape[0], kp_s.shape[0], W, H)
+    cnt_p, _ = staircase_counts(kb_s, n_b, kp_s, n_p, W=Wp, H=Hp,
+                                T_cap=Tp, interpret=interpret)
+    Wb, Hb, Tb = stair_plan(kp_s.shape[0], kb_s.shape[0], W, H)
+    cnt_b, _ = staircase_counts(kp_s, n_p, kb_s, n_b, W=Wb, H=Hb,
+                                T_cap=Tb, interpret=interpret)
+
+    count = jnp.sum(cnt_p.astype(jnp.uint64))
+    cb = _unsort(perm_b, cnt_b).astype(jnp.uint64)
+    cp = _unsort(perm_p, cnt_p).astype(jnp.uint64)
+    sums_b = (jnp.sum(cb[None, :] * vals_b, axis=1)
+              if vals_b.shape[0] else jnp.zeros((0,), jnp.uint64))
+    sums_p = (jnp.sum(cp[None, :] * vals_p, axis=1)
+              if vals_p.shape[0] else jnp.zeros((0,), jnp.uint64))
+    return count, sums_b, sums_p

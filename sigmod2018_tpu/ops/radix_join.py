@@ -82,13 +82,34 @@ RADIX_MIN_ROWS = int(_os.environ.get("S18_RADIX_MIN", str(1 << 18)))
 
 def _rotate(keys: jax.Array, bits: int) -> jax.Array:
     """Move the low `bits` (the radix bucket, reference H1 = value &
-    (2^N_LSB-1), rhjoin.c:311-325) to the TOP so one sort groups by
+    (2^N_LSB-1), rhjoin.c:13-111) to the TOP so one sort groups by
     bucket and orders by key within the bucket.  Bijective: equality on
     rotated keys == equality on keys, so kernels compare rotated limbs
     directly and never rotate back."""
     if bits == 0:
         return keys
     return (keys << jnp.uint64(64 - bits)) | (keys >> jnp.uint64(bits))
+
+
+def _rotate32(keys32: jax.Array, bits: int) -> jax.Array:
+    """32-bit rotation for the key32 fast path (both key columns < 2^32
+    by catalog stats): same bucket grouping and same within-bucket order
+    as `_rotate` — rot32(k) = (low_bits << (32-bits)) | (k >> bits),
+    while rot64(k)'s limbs are exactly (low_bits << (32-bits), k >> bits)
+    for k < 2^32 and bits <= 32.  Hence rot32(k) == ((rot64(k) >> 32) |
+    rot64(k)) as u32: prep artifacts stored in rot64 normalize to this
+    encoding with one elementwise OR (`_rot64_to_rot32`)."""
+    if bits == 0:
+        return keys32
+    return ((keys32 << jnp.uint32(32 - bits))
+            | (keys32 >> jnp.uint32(bits)))
+
+
+def _rot64_to_rot32(krot64: jax.Array) -> jax.Array:
+    """Normalize a rot64-encoded key array (keys < 2^32) to the rot32
+    encoding — order-preserving and equality-preserving (see _rotate32).
+    The 2^64-1 dead-row sentinel maps to 2^32-1, the rot32 sentinel."""
+    return (krot64 | (krot64 >> jnp.uint64(32))).astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("bits",))

@@ -52,19 +52,24 @@ def join_build(keys: jax.Array, n_valid: jax.Array, key32: bool = False):
     forced to the dtype max so they sort last.
 
     `key32` (catalog stats bound every value under 2^32): sort uint32
-    instead of uint64 — TPU has no native 64-bit compare, so a u64 sort
-    runs as a two-limb lexicographic sort; the single-limb sort is ~2x
-    cheaper.  Values < 2^32 keep their order under the downcast, and the
-    stable argsort breaks ties by index either way, so the permutation is
-    bit-identical to the u64 sort's."""
+    instead of uint64 — the TPU sorter's u64 comparator is ~20x the u32
+    one (measured; see ops/lsd.py), so the u64 case runs as two stable
+    u32 limb passes (LSD) and the u32 case as one.  Values < 2^32 keep
+    their order under the downcast, and stability breaks ties by index
+    either way, so the permutation is bit-identical to a stable u64
+    argsort's.  The perm rides the sort as a payload — no argsort +
+    O(P) gather (gathers are the slowest primitive on this hardware)."""
     P = keys.shape[0]
     live = jnp.arange(P, dtype=jnp.int32) < n_valid
+    iota = jnp.arange(P, dtype=jnp.int32)
     if key32:
         k = jnp.where(live, keys.astype(jnp.uint32), _PAD_KEY32)
-    else:
-        k = jnp.where(live, keys, _PAD_KEY)
-    perm = jnp.argsort(k).astype(jnp.int32)
-    return k[perm], perm
+        sk, perm = jax.lax.sort((k, iota), num_keys=1, is_stable=True)
+        return sk, perm
+    from .lsd import sort_u64_with
+
+    k = jnp.where(live, keys, _PAD_KEY)
+    return sort_u64_with(k, (iota,))
 
 
 @jax.jit
@@ -92,9 +97,16 @@ def join_probe_count(sorted_keys: jax.Array, n_build: jax.Array,
     # method="sort": the default scan-based binary search degenerates (~1000x)
     # on TPU when the sorted array contains duplicate runs — which every
     # real key column and every cumsum of counts has.  The sort-based
-    # lowering is data-independent.
-    both = jnp.searchsorted(sorted_keys, jnp.concatenate([pk, pk + 1]),
-                            side="left", method="sort")
+    # lowering is data-independent.  u64 keys rank via two stable u32
+    # limb passes instead (ops/lsd.py: the u64 comparator is ~20x u32).
+    if sorted_keys.dtype == jnp.uint64:
+        from .lsd import ranks_u64
+
+        both = ranks_u64(sorted_keys, jnp.concatenate([pk, pk + 1]),
+                         side="left")
+    else:
+        both = jnp.searchsorted(sorted_keys, jnp.concatenate([pk, pk + 1]),
+                                side="left", method="sort")
     lo = jnp.minimum(both[:Pp], n_build).astype(jnp.int32)
     hi = jnp.where(pk == maxv, n_build,
                    jnp.minimum(both[Pp:], n_build)).astype(jnp.int32)
