@@ -103,11 +103,17 @@ def _staircase(kb, kp, H: int, W: int, T_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W: int, H: int,
-                  limbs: int):
-    """One staircase step: eq-tile [H, W] -> accumulate per-probe-row
-    counts and first-match build positions into the (1, W) output
-    blocks (revisited across this probe chunk's contiguous step run)."""
+def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W1: int, W2: int,
+                  H: int, limbs: int):
+    """One staircase step: eq-tile [H, W1, W2] -> accumulate per-probe-
+    row counts and first-match build positions into the (1, W1, W2)
+    output blocks (revisited across this probe chunk's contiguous step
+    run).
+
+    The probe chunk rides as a (1, W1, W2) block (W = W1*W2 rows; the
+    trailing block dims equal the array's, satisfying Mosaic's (8, 128)
+    block-shape rule) and the build chunk as (H, 1, 1); the [H, W1, W2]
+    equality tile is a pure broadcast of the two."""
     if limbs == 2:
         kp_ref, kph_ref, kb_ref, kbh_ref, cnt_ref, lo_ref = refs
     else:
@@ -121,20 +127,25 @@ def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W: int, H: int,
     tm1 = jnp.maximum(t - 1, 0)
     first = jnp.logical_or(t == 0, pi_ref[tm1] != pi_t)
 
-    p = kp_ref[:]                      # [1, W]
-    b = kb_ref[:]                      # [H, 1]
-    eq = b == p                        # [H, W]
+    p = kp_ref[:]                      # [1, W1, W2]
+    b = kb_ref[:]                      # [H, 1, 1]
+    eq = b == p                        # [H, W1, W2]
     if limbs == 2:
         eq = jnp.logical_and(eq, kbh_ref[:] == kph_ref[:])
-    h_glob = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    h_glob = (jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
               + bi_t * jnp.int32(H))
-    w_glob = (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-              + pi_t * jnp.int32(W))
+    w_glob = (jax.lax.broadcasted_iota(jnp.int32, (1, W1, W2), 1)
+              * jnp.int32(W2)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, W1, W2), 2)
+              + pi_t * jnp.int32(W1 * W2))
     live = ((h_glob < n_b) & (w_glob < n_p)) & (t < T)
     eq = jnp.logical_and(eq, live)
-    c = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True)   # [1, W]
-    lo = jnp.min(jnp.where(eq, h_glob, jnp.int32(_BIG)), axis=0,
-                 keepdims=True)
+    # dtype pinned: under jax_enable_x64 an i32 sum promotes to i64,
+    # which Mosaic has no registers for
+    c = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True,
+                dtype=jnp.int32)
+    lo = jnp.min(jnp.where(eq, jnp.broadcast_to(h_glob, (H, W1, W2)),
+                           jnp.int32(_BIG)), axis=0, keepdims=True)
 
     @pl.when(first)
     def _init():
@@ -147,35 +158,50 @@ def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W: int, H: int,
         lo_ref[:] = jnp.minimum(lo_ref[:], lo)
 
 
+def _w_split(W: int):
+    """W = W1 * W2 with W2 <= 128: the trailing block dims (W1, W2)
+    equal the array dims, which Mosaic accepts for any W1."""
+    W2 = min(W, 128)
+    return W // W2, W2
+
+
 @partial(jax.jit, static_argnames=("W", "H", "T_cap", "limbs"))
 def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi, scal, *,
                          W: int, H: int, T_cap: int, limbs: int):
     Pb, Pp = kb_lo.shape[0], kp_lo.shape[0]
     Bp = Pp // W
-    pmap = lambda t, pi_r, bi_r, sc_r: (pi_r[t], 0)      # noqa: E731
-    bmap = lambda t, pi_r, bi_r, sc_r: (bi_r[t], 0)      # noqa: E731
-    in_specs = [pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM)]
-    args = [kp_lo.reshape(Bp, W)]
+    W1, W2 = _w_split(W)
+    # Trailing zeros derived from the (i32) step arrays: literal 0s
+    # trace as i64 under jax_enable_x64 and Mosaic fails to legalize
+    # mixed-width block indices (and jnp.int32(0) would be a captured
+    # constant, which index maps reject).
+    pmap = lambda t, pi_r, bi_r, sc_r: (                 # noqa: E731
+        pi_r[t], pi_r[t] * 0, pi_r[t] * 0)
+    bmap = lambda t, pi_r, bi_r, sc_r: (                 # noqa: E731
+        bi_r[t], bi_r[t] * 0, bi_r[t] * 0)
+    pspec = pl.BlockSpec((1, W1, W2), pmap, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((H, 1, 1), bmap, memory_space=pltpu.VMEM)
+    in_specs = [pspec]
+    args = [kp_lo.reshape(Bp, W1, W2)]
     if limbs == 2:
-        in_specs.append(pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM))
-        args.append(kp_hi.reshape(Bp, W))
-    in_specs.append(pl.BlockSpec((H, 1), bmap, memory_space=pltpu.VMEM))
-    args.append(kb_lo.reshape(Pb, 1))
+        in_specs.append(pspec)
+        args.append(kp_hi.reshape(Bp, W1, W2))
+    in_specs.append(bspec)
+    args.append(kb_lo.reshape(Pb, 1, 1))
     if limbs == 2:
-        in_specs.append(pl.BlockSpec((H, 1), bmap, memory_space=pltpu.VMEM))
-        args.append(kb_hi.reshape(Pb, 1))
+        in_specs.append(bspec)
+        args.append(kb_hi.reshape(Pb, 1, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T_cap,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, W), pmap, memory_space=pltpu.VMEM)),
+        out_specs=(pspec, pspec),
     )
     cnt, lo = pl.pallas_call(
-        partial(_stair_kernel, W=W, H=H, limbs=limbs),
+        partial(_stair_kernel, W1=W1, W2=W2, H=H, limbs=limbs),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((Bp, W), jnp.int32),
-                   jax.ShapeDtypeStruct((Bp, W), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32)),
     )(pi, bi, scal, *args)
     return cnt.reshape(Pp), lo.reshape(Pp)
 

@@ -80,18 +80,37 @@ def qd_static_plan(Pb: int, Pp: int, SPb: int = 256,
     return SPb, H, SPp
 
 
-def _sort_side(keys: jax.Array, vals: jax.Array, n: jax.Array):
-    """Plain (key, liveness) sort carrying the value columns; dead rows
-    (index >= n) sort behind every live row, even a live 2^64-1."""
+def _sort_side(keys: jax.Array, vals: jax.Array, n: jax.Array,
+               key32: bool = False):
+    """Plain key sort carrying the value columns: ONE stable single-key
+    sort — dead rows (index >= n, key forced to dtype max) sit at
+    suffix positions, so stability keeps live max-key rows ahead of
+    them without a second liveness key (~1.5x comparator cost).
+    `key32` (catalog stats): single-limb u32 sort, keys returned u32."""
     P = keys.shape[0]
     live = jnp.arange(P, dtype=jnp.int32) < n
-    k = jnp.where(live, keys, _MAX_U64)
-    deadflag = (~live).astype(jnp.int32)
-    ops = (k, deadflag) + tuple(vals[v] for v in range(vals.shape[0]))
-    sorted_ops = jax.lax.sort(ops, num_keys=2)
-    vals_s = (jnp.stack(sorted_ops[2:]) if vals.shape[0]
+    if key32:
+        k = jnp.where(live, keys.astype(jnp.uint32), _MAX_U32)
+    else:
+        k = jnp.where(live, keys, _MAX_U64)
+    ops = (k,) + tuple(vals[v] for v in range(vals.shape[0]))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    vals_s = (jnp.stack(sorted_ops[1:]) if vals.shape[0]
               else jnp.zeros((0, P), jnp.uint64))
     return sorted_ops[0], vals_s
+
+
+def _pstarts(kp: jax.Array, qb: jax.Array, n_p) -> jax.Array:
+    """Probe start of each quantile bucket: rank of the quantile in the
+    sorted probe keys.  u64 keys rank via ops/lsd.py (searchsorted's
+    u64 method="sort" lowering measures ~8x a plain sort)."""
+    if kp.dtype == jnp.uint64:
+        from .lsd import ranks_u64
+
+        r = ranks_u64(kp, qb, side="left")
+    else:
+        r = jnp.searchsorted(kp, qb, side="left", method="sort")
+    return jnp.minimum(r, n_p).astype(jnp.int32)
 
 
 def _max_run_length(ks: jax.Array, n: jax.Array) -> jax.Array:
@@ -131,9 +150,7 @@ def _qd_body(kb, vb, n_b, kp, vp, n_p, *, B: int, SPb: int, H: int,
 
     # Quantiles + probe bucket ranges (order-preserving assignment).
     qb = kb[::SPb]                                   # [B]
-    pstart = jnp.minimum(
-        jnp.searchsorted(kp, qb, side="left", method="sort"), n_p
-    ).astype(jnp.int32)
+    pstart = _pstarts(kp, qb, n_p)
     pend = jnp.concatenate([pstart[1:], n_p.reshape(1)])
     ct_p = jnp.maximum(pend - pstart, 0)
 
@@ -212,22 +229,21 @@ def qd_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
     live key equals the 2^64-1 dead sentinel."""
     n_b = jnp.int32(n_b)
     n_p = jnp.int32(n_p)
-    kb, vb = _sort_side(keys_b, vals_b, n_b)
-    kp, vp = _sort_side(keys_p, vals_p, n_p)
+    kb, vb = _sort_side(keys_b, vals_b, n_b, key32=limbs == 1)
+    kp, vp = _sort_side(keys_p, vals_p, n_p, key32=limbs == 1)
     Pb = kb.shape[0]
     B = Pb // SPb
 
     mult = _max_run_length(kb, n_b)
     qb = kb[::SPb]
-    pstart = jnp.minimum(
-        jnp.searchsorted(kp, qb, side="left", method="sort"), n_p
-    ).astype(jnp.int32)
+    pstart = _pstarts(kp, qb, n_p)
     pend = jnp.concatenate([pstart[1:], n_p.reshape(1)])
     probe_occ = jnp.max(jnp.maximum(pend - pstart, 0))
 
     def has_max(ks, n):
         live = jnp.arange(ks.shape[0], dtype=jnp.int32) < n
-        return jnp.any(live & (ks == _MAX_U64))
+        sentinel = _MAX_U32 if ks.dtype == jnp.uint32 else _MAX_U64
+        return jnp.any(live & (ks == sentinel))
 
     overflow = ((mult > jnp.int32(H))
                 | (probe_occ > jnp.int32(SPp - ALIGN))

@@ -112,6 +112,29 @@ def _rot64_to_rot32(krot64: jax.Array) -> jax.Array:
     return (krot64 | (krot64 >> jnp.uint64(32))).astype(jnp.uint32)
 
 
+def _bucket_starts(krot_s: jax.Array, n, bits: int) -> jax.Array:
+    """Per-bucket start positions in the sorted rotated keys WITHOUT a
+    u64 searchsorted (its method="sort" lowering measures ~8x a plain
+    sort).  Bucket edges have a zero low limb, so ranking them against
+    the HIGH limb alone is exact: (hi, lo) >= (edge_hi, 0) iff
+    hi >= edge_hi.  For the rot32 (u32) encoding the keys are their own
+    high limb."""
+    B = 1 << bits
+    if krot_s.dtype == jnp.uint64:
+        hs = (krot_s >> jnp.uint64(32)).astype(jnp.uint32)
+        edges = (jnp.arange(B, dtype=jnp.uint32)
+                 << jnp.uint32(32 - bits)) if bits else jnp.zeros(
+                     (B,), jnp.uint32)
+    else:
+        hs = krot_s
+        edges = (jnp.arange(B, dtype=jnp.uint32)
+                 << jnp.uint32(32 - bits)) if bits else jnp.zeros(
+                     (B,), jnp.uint32)
+    starts = jnp.searchsorted(hs, edges, side="left",
+                              method="sort").astype(jnp.int32)
+    return jnp.minimum(starts, jnp.int32(n))
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def radix_prep_keys(keys: jax.Array, n, bits: int):
     """Prep-time half of `_prep_side` for a BASE column: the rotated-key
@@ -129,43 +152,52 @@ def radix_prep_keys(keys: jax.Array, n, bits: int):
     n = jnp.int32(n)
     live = jnp.arange(P, dtype=jnp.int32) < n
     krot = jnp.where(live, _rotate(keys, bits), _MAX_U64)
-    deadflag = (~live).astype(jnp.int32)
     iota = jnp.arange(P, dtype=jnp.int32)
-    krot_s, _, perm = jax.lax.sort((krot, deadflag, iota), num_keys=2)
-    B = 1 << bits
-    edges = (jnp.arange(B, dtype=jnp.uint64) << jnp.uint64(64 - bits))
-    starts = jnp.searchsorted(krot_s, edges, side="left",
-                              method="sort").astype(jnp.int32)
-    starts = jnp.minimum(starts, n)
+    # ONE stable single-key sort: the deadflag second key is redundant
+    # (dead rows sit at suffix positions, so stability keeps live
+    # 2^64-1 keys ahead of them) and a num_keys=2 u64 comparator costs
+    # ~1.5x; bucket starts rank against the high limb (ops/lsd.py cost
+    # table: u64 searchsorted method="sort" measures ~8x a plain sort).
+    krot_s, perm = jax.lax.sort((krot, iota), num_keys=1, is_stable=True)
+    starts = _bucket_starts(krot_s, n, bits)
     ends = jnp.concatenate([starts[1:], n.reshape(1)])
     cnts = ends - starts
     return krot_s, perm, starts, cnts, jnp.max(cnts)
 
 
-@partial(jax.jit, static_argnames=("bits",))
-def _prep_side(keys: jax.Array, vals: jax.Array, n: jax.Array, bits: int):
-    """Sort one side by (rotated key, liveness) carrying the value
-    columns; derive per-bucket starts/counts and the max occupancy.
+@partial(jax.jit, static_argnames=("bits", "key32"))
+def _prep_side(keys: jax.Array, vals: jax.Array, n: jax.Array, bits: int,
+               key32: bool = False):
+    """Sort one side by the rotated key carrying the value columns;
+    derive per-bucket starts/counts and the max occupancy.
 
     vals: [V, P] u64.  Returns (krot_sorted [P], vals_sorted [V, P],
-    starts [B] i32, cnts [B] i32, max_occ i32).  Dead rows (index >= n)
-    sort to the tail via the liveness key — a live key of 2^64-1 still
-    precedes every dead row, so the live prefix is exactly n rows.
-    """
+    starts [B] i32, cnts [B] i32, max_occ i32).  ONE stable single-key
+    sort: dead rows (index >= n, key forced to the dtype max) sit at
+    suffix positions, so stability keeps any live max-key row ahead of
+    them — the live prefix is exactly n rows, without the ~1.5x-cost
+    num_keys=2 liveness comparator.
+
+    `key32` (both key columns < 2^32 by catalog stats): keys sort in
+    the 32-bit rotation encoding (_rotate32) — single-limb comparator,
+    ~1.6x cheaper — and krot_sorted is returned as u32.  rot32 has the
+    same order and the same equality as rot64's limbs (see _rotate32),
+    so downstream (slot-fill limbs, window math, the merge fallback)
+    is unchanged; a prep-artifact side stored in rot64 normalizes via
+    _rot64_to_rot32."""
     P = keys.shape[0]
     live = jnp.arange(P, dtype=jnp.int32) < n
-    krot = jnp.where(live, _rotate(keys, bits), _MAX_U64)
-    deadflag = (~live).astype(jnp.int32)
-    ops = (krot, deadflag) + tuple(vals[v] for v in range(vals.shape[0]))
-    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    if key32:
+        krot = jnp.where(live, _rotate32(keys.astype(jnp.uint32), bits),
+                         jnp.uint32(0xFFFFFFFF))
+    else:
+        krot = jnp.where(live, _rotate(keys, bits), _MAX_U64)
+    ops = (krot,) + tuple(vals[v] for v in range(vals.shape[0]))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
     krot_s = sorted_ops[0]
-    vals_s = (jnp.stack(sorted_ops[2:]) if vals.shape[0]
+    vals_s = (jnp.stack(sorted_ops[1:]) if vals.shape[0]
               else jnp.zeros((0, P), jnp.uint64))
-    B = 1 << bits
-    edges = (jnp.arange(B, dtype=jnp.uint64) << jnp.uint64(64 - bits))
-    starts = jnp.searchsorted(krot_s, edges, side="left",
-                              method="sort").astype(jnp.int32)
-    starts = jnp.minimum(starts, n.astype(jnp.int32))
+    starts = _bucket_starts(krot_s, n.astype(jnp.int32), bits)
     ends = jnp.concatenate([starts[1:], n.astype(jnp.int32).reshape(1)])
     cnts = ends - starts
     return krot_s, vals_s, starts, cnts, jnp.max(cnts)
@@ -485,12 +517,18 @@ def _merge_on_sorted(kb, vb, n_b, kp, vp, n_p):
     2^20+ rows, and the [Pp]-sized u64 gathers it would feed are the
     slowest primitive on this hardware."""
     nb = n_b.astype(jnp.int32)
-    lo = jnp.minimum(
-        jnp.searchsorted(kb, kp, side="left", method="sort"), nb
-    ).astype(jnp.int32)
-    hi = jnp.minimum(
-        jnp.searchsorted(kb, kp, side="right", method="sort"), nb
-    ).astype(jnp.int32)
+    if kb.dtype == jnp.uint64:
+        # u64 searchsorted's method="sort" lowering measures ~8x a
+        # plain sort — rank via one stable sort each (ops/lsd.py).
+        from .lsd import ranks_u64
+
+        lo_r = ranks_u64(kb, kp, side="left")
+        hi_r = ranks_u64(kb, kp, side="right")
+    else:
+        lo_r = jnp.searchsorted(kb, kp, side="left", method="sort")
+        hi_r = jnp.searchsorted(kb, kp, side="right", method="sort")
+    lo = jnp.minimum(lo_r, nb).astype(jnp.int32)
+    hi = jnp.minimum(hi_r, nb).astype(jnp.int32)
     Pp = kp.shape[0]
     live_p = jnp.arange(Pp, dtype=jnp.int32) < n_p
     lo = jnp.where(live_p, lo, 0)
@@ -534,8 +572,13 @@ def radix_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
 
     def side(keys, vals, n, pre):
         if pre is None:
-            return _prep_side(keys, vals, n, bits)
+            return _prep_side(keys, vals, n, bits, key32=limbs == 1)
         krot_s, st, ct, mo = pre
+        if limbs == 1:
+            # prep artifacts are stored rot64; query-time key32 sides
+            # sort in rot32 — normalize so both sides share the
+            # single-limb encoding (order/equality preserving).
+            krot_s = _rot64_to_rot32(krot_s)
         return krot_s, vals, st, ct, mo
 
     kb, vb, st_b, ct_b, mo_b = side(keys_b, vals_b, n_b, prep_b)
