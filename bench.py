@@ -84,9 +84,17 @@ def main() -> None:
     mismatches += abs(len(warm) - len(expected))
 
     # ---- timed pass -----------------------------------------------------
+    # All batches dispatch before any fetch — the contest harness feeds
+    # batches through a select() loop without waiting for results
+    # (harness.cpp:214-263), so the engine sees every query before it
+    # must answer the first batch; one packed fetch drains everything
+    # (the same pipelining io/repl.py applies when the pipe fills).
+    from sigmod2018_tpu.engine.executor import format_batch
+
     t0 = time.perf_counter()
-    for batch in batches:
-        run_batch(batch)
+    results = list(pool.map(engine.execute_async,
+                            [q for batch in batches for q in batch]))
+    format_batch(results)
     ms = (time.perf_counter() - t0) * 1000.0
 
     ref_ms = REFERENCE_MS.get(name)

@@ -24,10 +24,10 @@ class EngineConfig:
     # N_LSB=4, structs.h:11).  The engine's auto path sizes its own bits
     # from the input shapes (ops/radix_join.py::static_radix_plan).
     radix_bits: int = 4
-    # Fused-join member selection: "auto" (default — the Pallas radix
-    # kernel at scale on TPU, sort+searchsorted below the measured
-    # crossover; see ops/radix_join.py::fused_join_auto), "sort" or
-    # "radix" to force one member.
+    # Fused-join member selection: "auto" (default — the merge-staircase
+    # Pallas kernel at scale on TPU, sort+searchsorted below the
+    # measured crossover; see ops/radix_join.py::fused_join_auto), or
+    # "sort" / "radix" / "qd" / "ms" to force one member.
     join_algo: str = "auto"
 
     # Join-order optimization via DP enumeration (reference best_tree.c).

@@ -891,12 +891,18 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                         else (jp.binding1, jp.column1))
             rpre_p, rvals_p = radix_side(
                 pb_, pc_, comp_r if build_left else comp_l, False)
+            # Probe-side prep sort: the merge-staircase member (the
+            # at-scale default) consumes BOTH sides' plain sorted keys.
+            comp_p = comp_r if build_left else comp_l
+            presorted_p = (smap.get((query.relations[pb_], pc_))
+                           if comp_p is None else None)
             count, sums_b, sums_p = ops.fused_join_auto(
                 keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
                 algo=algo, key32=key32[idx], presorted=presorted,
                 table=table, table_prefs=tprefs,
                 radix_pre_b=rpre_b, radix_vals_b=rvals_b,
                 radix_pre_p=rpre_p, radix_vals_p=rvals_p,
+                presorted_p=presorted_p,
             )
             return done(jnp.concatenate(
                 [count.reshape(1), sums_b + sums_p]

@@ -286,6 +286,7 @@ class JaxEngine:
 
         art = None
         if (self.config.presort and self.prep_join_artifacts
+                and self.config.join_algo == "radix"
                 and self.device_key_table(rid, cid) is None):
             dev, n = self.device_column(rid, cid)
             if dev.shape[0] >= _rj.RADIX_MIN_ROWS:
@@ -648,7 +649,7 @@ class JaxEngine:
         keys_b, n_b = (keys_l, n_l) if build_left else (keys_r, n_r)
         keys_p, n_p = (keys_r, n_r) if build_left else (keys_l, n_l)
 
-        presorted = table = None
+        presorted = presorted_p = table = None
         comp_b = comp_l if build_left else comp_r
         tbl_b = tbl_l if build_left else tbl_r
         bb, bc = ((jp.binding1, jp.column1) if build_left
@@ -658,6 +659,14 @@ class JaxEngine:
             presorted = self.device_sorted_column(query.relations[bb], bc)
             if tbl_b is not None:
                 table = (tbl_b, presorted[1])
+        comp_p = comp_r if build_left else comp_l
+        pb_, pc_ = ((jp.binding2, jp.column2) if build_left
+                    else (jp.binding1, jp.column1))
+        if (comp_p is None and self.config.presort
+                and self.prep_join_artifacts):
+            # the ms member consumes BOTH sides' prep sorts
+            presorted_p = self.device_sorted_column(
+                query.relations[pb_], pc_)
 
         V = max(len(query.views), self._FUSED_VPAD)
         Pb = keys_b.shape[0]
@@ -667,9 +676,13 @@ class JaxEngine:
         # the build relation (comp_b is None), so its prep-time prefix
         # table replaces the per-query gather + cumsum — the fused join
         # becomes probe-only (ops.join_checksum_fused_table_pref).
+        use_ms = self._ops.ms_member_selected(Pb, keys_p.shape[0],
+                                              self.config.join_algo)
         prefs = ([self._zeros_u64(Pb + 1)] * V
-                 if table is not None and self.config.join_algo != "radix"
-                 else None)  # forced radix ignores the table member
+                 if table is not None and not use_ms
+                 and self.config.join_algo != "radix"
+                 else None)  # forced radix / at-scale ms skip the table
+                             # member (ms needs the build payload)
         for vi, (b, c) in enumerate(query.views):
             coldev, _ = col_of(b, c)
             comp = comp_l if side_of(b) else comp_r
@@ -689,6 +702,7 @@ class JaxEngine:
             keys_p, jnp.stack(prows), _n32(n_p),
             key32=self._key32(query, jp), presorted=presorted, table=table,
             table_prefs=jnp.stack(prefs) if prefs is not None else None,
+            presorted_p=presorted_p,
         )
         return PendingResult(packed[: 1 + len(query.views)],
                              len(query.views))
@@ -710,7 +724,7 @@ class JaxEngine:
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols,
                            n_p, key32: bool = False,
                            presorted=None, table=None,
-                           table_prefs=None) -> jax.Array:
+                           table_prefs=None, presorted_p=None) -> jax.Array:
         """Fused final join + checksums -> packed [1 + V] device vector.
         Each view's values live on exactly one side (the other side's
         zero column contributes 0 to both partial sums).  Size-dispatch
@@ -720,5 +734,5 @@ class JaxEngine:
         count, sums_b, sums_p = self._ops.fused_join_auto(
             keys_b, bcols, n_b, keys_p, pcols, n_p,
             algo=self.config.join_algo, key32=key32, presorted=presorted,
-            table=table, table_prefs=table_prefs)
+            table=table, table_prefs=table_prefs, presorted_p=presorted_p)
         return jnp.concatenate([count.reshape(1), sums_b + sums_p])

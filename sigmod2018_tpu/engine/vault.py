@@ -57,10 +57,31 @@ class _Null:
 _NULL_GATE = _Null()
 
 
+def _code_tag() -> str:
+    """Hash of the sources that define what a query program COMPUTES
+    (ops kernels + the segment tracer).  Without it, a vaulted program
+    exported by an older engine build would keep serving after the ops
+    changed — results would still be bit-exact (the contract is fixed)
+    but the program would silently run the superseded member set."""
+    import glob
+
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha1()
+    for fp in sorted(glob.glob(os.path.join(base, "ops", "*.py"))
+                     + [os.path.join(base, "engine", "executor.py"),
+                        os.path.join(base, "engine", "compiled.py")]):
+        try:
+            with open(fp, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
+
+
 def _env_tag() -> str:
     dev = jax.devices()[0]
     return (f"{jax.__version__}:{dev.platform}:{dev.device_kind}:"
-            f"{jax.config.jax_enable_x64}")
+            f"{jax.config.jax_enable_x64}:{_code_tag()}")
 
 
 class ProgramVault:

@@ -13,7 +13,8 @@ from .sort_join import (join_build, join_probe_count,
 from .agg_join import (join_checksum_fused, join_checksum_fused_presorted,
                        join_checksum_fused_table,
                        join_checksum_fused_table_pref, prefix_by_perm)
-from .radix_join import (fused_join_auto, plan_bits, radix_fused_static,
+from .radix_join import (fused_join_auto, ms_member_selected, plan_bits,
+                         radix_fused_static,
                          radix_join_checksum, radix_member_selected,
                          radix_prep_keys)
 from .cartesian import cartesian_indices
@@ -39,6 +40,7 @@ __all__ = [
     "radix_fused_static",
     "radix_join_checksum",
     "radix_member_selected",
+    "ms_member_selected",
     "radix_prep_keys",
     "cartesian_indices",
 ]

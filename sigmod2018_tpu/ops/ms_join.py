@@ -55,6 +55,16 @@ _MAX_U64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 _MAX_U32 = jnp.uint32(0xFFFFFFFF)
 _BIG = 0x7FFFFFFF  # plain int: a jnp scalar would be captured as a
                    # pallas kernel constant, which Mosaic rejects
+_PACK = 1 << 15    # (pi, bi) pack into one i32: pi * _PACK + bi
+# The build side rides as a [Pb, 1, 1] array so (H, 1, 1) blocks are
+# legal; XLA lays that out T(1, 128) — a 128x padded copy (4 GB at
+# 2^23 rows).  Within this cap the copy is affordable; past it the
+# caller must pick another member (fused_join_auto routes to qd).
+# TODO(layout): a rolled-lane all-pairs kernel keeps every array in
+# its natural bitcast layout and removes the cap.
+MS_MAX_ROWS = 1 << 23
+STEP_BUDGET = 1 << 17  # max staircase steps: 512 KB of prefetched SMEM
+                       # (the total SMEM budget is ~1 MB per program)
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +105,9 @@ def _staircase(kb, kp, H: int, W: int, T_cap: int):
     pi = jnp.minimum(pi, Bp - 1)
     start = offs[pi] - spans[pi]
     bi = jnp.clip(f[pi] + (t - start), 0, Bb - 1)
-    return pi, bi, T
+    # Steps ride prefetched SMEM, whose total budget is ~1 MB: pack
+    # (pi, bi) into one i32 (both < 2^15 by stair_plan's chunk sizing).
+    return pi * jnp.int32(_PACK) + bi, T
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +115,7 @@ def _staircase(kb, kp, H: int, W: int, T_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W1: int, W2: int,
+def _stair_kernel(st_ref, sc_ref, *refs, W1: int, W2: int,
                   H: int, limbs: int):
     """One staircase step: eq-tile [H, W1, W2] -> accumulate per-probe-
     row counts and first-match build positions into the (1, W1, W2)
@@ -122,10 +134,10 @@ def _stair_kernel(pi_ref, bi_ref, sc_ref, *refs, W1: int, W2: int,
     T = sc_ref[0]
     n_b = sc_ref[1]
     n_p = sc_ref[2]
-    pi_t = pi_ref[t]
-    bi_t = bi_ref[t]
+    pi_t = st_ref[t] // jnp.int32(_PACK)
+    bi_t = st_ref[t] % jnp.int32(_PACK)
     tm1 = jnp.maximum(t - 1, 0)
-    first = jnp.logical_or(t == 0, pi_ref[tm1] != pi_t)
+    first = jnp.logical_or(t == 0, st_ref[tm1] // jnp.int32(_PACK) != pi_t)
 
     p = kp_ref[:]                      # [1, W1, W2]
     b = kb_ref[:]                      # [H, 1, 1]
@@ -166,19 +178,26 @@ def _w_split(W: int):
 
 
 @partial(jax.jit, static_argnames=("W", "H", "T_cap", "limbs"))
-def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi, scal, *,
+def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal, *,
                          W: int, H: int, T_cap: int, limbs: int):
     Pb, Pp = kb_lo.shape[0], kp_lo.shape[0]
     Bp = Pp // W
     W1, W2 = _w_split(W)
-    # Trailing zeros derived from the (i32) step arrays: literal 0s
-    # trace as i64 under jax_enable_x64 and Mosaic fails to legalize
-    # mixed-width block indices (and jnp.int32(0) would be a captured
-    # constant, which index maps reject).
-    pmap = lambda t, pi_r, bi_r, sc_r: (                 # noqa: E731
-        pi_r[t], pi_r[t] * 0, pi_r[t] * 0)
-    bmap = lambda t, pi_r, bi_r, sc_r: (                 # noqa: E731
-        bi_r[t], bi_r[t] * 0, bi_r[t] * 0)
+    # Index-map arithmetic is built ONLY from the traced i32 step value:
+    # literal 0s trace as i64 under jax_enable_x64 (Mosaic can't
+    # legalize mixed-width block indices), jnp constants would be
+    # captured (rejected), and jnp's // int promotion recurses in the
+    # index-map tracing context — lax bit ops on traced operands avoid
+    # all three.
+    def pmap(t, st_r, sc_r):
+        v = st_r[t]
+        z = v * 0
+        return jax.lax.shift_right_logical(v, z + 15), z, z
+
+    def bmap(t, st_r, sc_r):
+        v = st_r[t]
+        z = v * 0
+        return jax.lax.bitwise_and(v, z + (_PACK - 1)), z, z
     pspec = pl.BlockSpec((1, W1, W2), pmap, memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((H, 1, 1), bmap, memory_space=pltpu.VMEM)
     in_specs = [pspec]
@@ -192,7 +211,7 @@ def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi, scal, *,
         in_specs.append(bspec)
         args.append(kb_hi.reshape(Pb, 1, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(T_cap,),
         in_specs=in_specs,
         out_specs=(pspec, pspec),
@@ -202,17 +221,24 @@ def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi, scal, *,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32),
                    jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32)),
-    )(pi, bi, scal, *args)
+    )(steps, scal, *args)
     return cnt.reshape(Pp), lo.reshape(Pp)
 
 
 def _ranges_by_search(kb, n_b, kp, n_p):
     """Fallback (and oracle): exact (cnt, lo) via two rank queries —
-    the ops/sort_join.py searchsorted contract on sorted arrays."""
+    the ops/sort_join.py searchsorted contract on sorted arrays.  u64
+    keys rank via ops/lsd.py (searchsorted's u64 method="sort" lowering
+    measures ~8x a plain sort)."""
     Pp = kp.shape[0]
     maxv = jnp.array(jnp.iinfo(kb.dtype).max, kb.dtype)
-    both = jnp.searchsorted(kb, jnp.concatenate([kp, kp + 1]),
-                            side="left", method="sort")
+    if kb.dtype == jnp.uint64:
+        from .lsd import ranks_u64
+
+        both = ranks_u64(kb, jnp.concatenate([kp, kp + 1]), side="left")
+    else:
+        both = jnp.searchsorted(kb, jnp.concatenate([kp, kp + 1]),
+                                side="left", method="sort")
     lo = jnp.minimum(both[:Pp], n_b).astype(jnp.int32)
     hi = jnp.where(kp == maxv, n_b,
                    jnp.minimum(both[Pp:], n_b)).astype(jnp.int32)
@@ -221,12 +247,22 @@ def _ranges_by_search(kb, n_b, kp, n_p):
     return cnt, lo
 
 
-def stair_plan(Pb: int, Pp: int, W: int = 256, H: int = 256,
+def stair_plan(Pb: int, Pp: int, W: int = 1024, H: int = 512,
                slack: float = 1.0) -> Tuple[int, int, int]:
     """Static sizing: chunk widths (clamped to the padded sizes) and the
     step cap.  T_cap = (1 + slack) * (Bb + Bp) tolerates an output of
-    ~slack*(Bb+Bp)*W*H extra pairs (~2^22 pairs at defaults for 2^23
-    rows/side) before the cond falls back to the searchsorted branch."""
+    ~slack*(Bb+Bp)*W*H extra pairs before the cond falls back to the
+    searchsorted branch.
+
+    Defaults measured at 2^23 rows/side on the target chip: W=1024
+    makes the probe block exactly one native (8, 128) tile (67.7 ms vs
+    125.9 ms at W=512 — sub-tile blocks relayout), H=512 keeps the
+    compare volume Pb*W + Pp*H near its minimum.
+
+    Two hardware bounds shape the plan: the packed step array is a
+    prefetched SMEM operand (total SMEM ~1 MB), so T_cap is held under
+    STEP_BUDGET by doubling chunk widths on large inputs; and packing
+    needs Bb, Bp < _PACK (2^15), which the same doubling guarantees."""
     W = min(W, Pp)
     H = min(H, Pb)
     while Pp % W:
@@ -234,8 +270,16 @@ def stair_plan(Pb: int, Pp: int, W: int = 256, H: int = 256,
     while Pb % H:
         H //= 2
     W, H = max(W, 1), max(H, 1)
+    while Pp // W >= _PACK or (slack >= 0.5 and int(
+            (Pb // H + Pp // W) * (1.0 + slack)) + 8 > STEP_BUDGET):
+        if Pp // W >= Pb // H:
+            W *= 2
+        else:
+            H *= 2
+    while Pb // H >= _PACK:
+        H *= 2
     Bb, Bp = Pb // H, Pp // W
-    T_cap = int((Bb + Bp) * (1.0 + slack)) + 8
+    T_cap = min(int((Bb + Bp) * (1.0 + slack)) + 8, STEP_BUDGET)
     return W, H, T_cap
 
 
@@ -253,7 +297,7 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
     than T_cap falls back to the searchsorted branch via lax.cond."""
     n_b = jnp.int32(n_b)
     n_p = jnp.int32(n_p)
-    pi, bi, T = _staircase(kb, kp, H, W, T_cap)
+    steps, T = _staircase(kb, kp, H, W, T_cap)
     scal = jnp.stack([T, n_b, n_p])
 
     if kb.dtype == jnp.uint64:
@@ -271,9 +315,9 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi,
-                                            pi, bi, scal, W=W, H=H,
+                                            steps, scal, W=W, H=H,
                                             T_cap=T_cap, limbs=limbs)
-        return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, pi, bi,
+        return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, steps,
                                     scal, W=W, H=H, T_cap=T_cap,
                                     limbs=limbs)
 
@@ -313,7 +357,7 @@ def _unsort(perm, x):
 
 @partial(jax.jit, static_argnames=("key32", "W", "H", "interpret"))
 def ms_fused(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
-             key32: bool = False, W: int = 256, H: int = 256,
+             key32: bool = False, W: int = 1024, H: int = 512,
              interpret: bool = False, presorted_b=None, presorted_p=None):
     """Fused merge-staircase join + checksums: (count, sums_build [V],
     sums_probe [V]), exact wrap-around uint64 (the agg_join contract).
@@ -340,15 +384,21 @@ def ms_fused(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
     Wp, Hp, Tp = stair_plan(kb_s.shape[0], kp_s.shape[0], W, H)
     cnt_p, _ = staircase_counts(kb_s, n_b, kp_s, n_p, W=Wp, H=Hp,
                                 T_cap=Tp, interpret=interpret)
-    Wb, Hb, Tb = stair_plan(kp_s.shape[0], kb_s.shape[0], W, H)
-    cnt_b, _ = staircase_counts(kp_s, n_p, kb_s, n_b, W=Wb, H=Hb,
-                                T_cap=Tb, interpret=interpret)
-
     count = jnp.sum(cnt_p.astype(jnp.uint64))
-    cb = _unsort(perm_b, cnt_b).astype(jnp.uint64)
-    cp = _unsort(perm_p, cnt_p).astype(jnp.uint64)
-    sums_b = (jnp.sum(cb[None, :] * vals_b, axis=1)
-              if vals_b.shape[0] else jnp.zeros((0,), jnp.uint64))
-    sums_p = (jnp.sum(cp[None, :] * vals_p, axis=1)
-              if vals_p.shape[0] else jnp.zeros((0,), jnp.uint64))
+    if vals_b.shape[0]:
+        # build-side sums need per-BUILD-row counts: the same kernel
+        # with the roles swapped.  Statically skipped when no view
+        # lives on the build side.
+        Wb, Hb, Tb = stair_plan(kp_s.shape[0], kb_s.shape[0], W, H)
+        cnt_b, _ = staircase_counts(kp_s, n_p, kb_s, n_b, W=Wb, H=Hb,
+                                    T_cap=Tb, interpret=interpret)
+        cb = _unsort(perm_b, cnt_b).astype(jnp.uint64)
+        sums_b = jnp.sum(cb[None, :] * vals_b, axis=1)
+    else:
+        sums_b = jnp.zeros((0,), jnp.uint64)
+    if vals_p.shape[0]:
+        cp = _unsort(perm_p, cnt_p).astype(jnp.uint64)
+        sums_p = jnp.sum(cp[None, :] * vals_p, axis=1)
+    else:
+        sums_p = jnp.zeros((0,), jnp.uint64)
     return count, sums_b, sums_p

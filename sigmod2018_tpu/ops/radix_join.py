@@ -602,13 +602,17 @@ def radix_member_selected(Pb: int, Pp: int, algo: str,
     """Host-side mirror of `fused_join_auto`'s member selection: True
     iff the Pallas radix member would run for these padded sizes.  Lets
     prep/engines decide statically whether radix artifacts will be
-    consumed."""
-    if has_table and algo != "radix":
-        return False
-    if algo == "sort":
-        return False
+    consumed.  Since the merge-staircase member became the at-scale
+    auto default, only a forced algo="radix" selects it."""
+    return algo == "radix"
+
+
+def ms_member_selected(Pb: int, Pp: int, algo: str) -> bool:
+    """Host-side mirror: True iff the merge-staircase member would run
+    for these padded sizes (prep decides whether plain-sorted key
+    artifacts will be consumed by the fused path)."""
     on_tpu = jax.default_backend() == "tpu"
-    return algo == "radix" or (
+    return algo == "ms" or (
         algo == "auto" and on_tpu and max(Pb, Pp) >= RADIX_MIN_ROWS)
 
 
@@ -642,17 +646,21 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                     algo: str = "auto", key32: bool = False,
                     presorted=None, table=None, table_prefs=None,
                     radix_pre_b=None, radix_vals_b=None,
-                    radix_pre_p=None, radix_vals_p=None):
+                    radix_pre_p=None, radix_vals_p=None,
+                    presorted_p=None):
     """The engine's fused-final-join entry: size-dispatched member of
     the join family (VERDICT r1 #1).
 
     - padded size below RADIX_MIN_ROWS, or off-TPU: the sort member
-      (ops/agg_join.py — measured faster under ~2M rows/side);
-    - at scale on TPU: `radix_fused_static`, the Pallas radix member
-      with the on-device overflow cond (no host syncs either way).
+      (ops/agg_join.py — measured faster under ~2^18 rows/side);
+    - at scale on TPU: `ms_fused`, the merge-staircase member
+      (ops/ms_join.py) — measured fastest at every swept size on the
+      target chip (2^23/side key32: ms 303 ms, qd 391, radix 522,
+      sort 908, table+pref 417), fully general (no occupancy or
+      multiplicity caps), sync-free.
 
-    `algo`: "auto" (default), "sort" (force sort), "radix" (force the
-    radix member — TPU or interpret-mode tests only).  `key32`: both key
+    `algo`: "auto" (default), "sort"/"radix"/"qd"/"ms" (force that
+    member — off-TPU forced Pallas members run under interpret mode).  `key32`: both key
     columns' values < 2^32 (catalog stats), enabling the single-limb
     fast path (half the sort/compare work).  `presorted`: the build
     side's prep-time (sorted_keys u64, perm) when it is an unfiltered
@@ -672,7 +680,9 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     bits == plan_bits(Pb) — the CALLER checks the match) and its
     pre-sorted [V, P] value stack (device_radix_val); consumed only
     when the radix member is selected, so callers pass both
-    representations and XLA DCEs the loser's operands.
+    representations and XLA DCEs the loser's operands.  `presorted_p`:
+    the PROBE side's prep-time (sorted_keys u64, perm) — consumed by
+    the ms member (which wants both sides sorted), ignored elsewhere.
     """
     from .agg_join import (join_checksum_fused,
                            join_checksum_fused_presorted,
@@ -693,6 +703,32 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
         return qd_fused_static(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                                **kw)
 
+    Pmax = max(keys_b.shape[0], keys_p.shape[0])
+    on_tpu = jax.default_backend() == "tpu"
+    from .ms_join import MS_MAX_ROWS
+
+    use_ms = algo == "ms" or (
+        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax
+        and Pmax <= MS_MAX_ROWS)
+    if algo == "auto" and on_tpu and Pmax > MS_MAX_ROWS:
+        # Past the ms member's build-matrix layout cap (see
+        # ops/ms_join.py MS_MAX_ROWS): the equi-depth member is the
+        # measured runner-up and has no such cap.
+        algo = "qd"
+    if use_ms:
+        # Merge-staircase member: the at-scale default.  Preferred over
+        # the table member too — the rank-table gathers lose to the
+        # streaming staircase at scale (417 vs 303 ms at 2^23).
+        from .ms_join import ms_fused
+
+        kw = dict(key32=key32, presorted_b=presorted,
+                  presorted_p=presorted_p)
+        if not on_tpu:
+            with pltpu.force_tpu_interpret_mode():
+                return ms_fused(keys_b, vals_b, n_b, keys_p, vals_p,
+                                n_p, **kw)
+        return ms_fused(keys_b, vals_b, n_b, keys_p, vals_p, n_p, **kw)
+
     if table is not None and algo != "radix":
         cumcnt, perm = table
         if table_prefs is not None:
@@ -702,10 +738,7 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
                                          jnp.int32(n_b), keys_p, vals_p,
                                          jnp.int32(n_p))
 
-    Pmax = max(keys_b.shape[0], keys_p.shape[0])
-    on_tpu = jax.default_backend() == "tpu"
-    use_radix = algo == "radix" or (
-        algo == "auto" and on_tpu and Pmax >= RADIX_MIN_ROWS)
+    use_radix = algo == "radix"
     if not use_radix:
         if presorted is not None:
             sk, perm = presorted

@@ -74,10 +74,11 @@ class DistJaxEngine(JaxEngine):
 
     def _fused_join_packed(self, keys_b, bcols, n_b, keys_p, pcols, n_p,
                            key32: bool = False, presorted=None, table=None,
-                           table_prefs=None):
-        # `presorted`/`table`/`table_prefs` (single-chip prep artifacts)
-        # do not apply: the build side re-partitions across chips in the
-        # shuffle below (prep_join_artifacts=False keeps them None).
+                           table_prefs=None, presorted_p=None):
+        # `presorted`/`table`/`table_prefs`/`presorted_p` (single-chip
+        # prep artifacts) do not apply: the build side re-partitions
+        # across chips in the shuffle below (prep_join_artifacts=False
+        # keeps them None).
         """Route the fused final join through the hand-written shard_map
         hash-shuffle (dist.py) instead of GSPMD propagation: each chip
         buckets its rows by key, all_to_all exchanges them over ICI, the

@@ -199,6 +199,38 @@ def main() -> None:
               f"{2 * n / t / 1e6:6.1f} Mrows/s   "
               f"({sol / t * 100:.1f}% of SOL)  [domain 2^{int(np.log2(D))}]")
 
+    # ---- merge-staircase member (ops/ms_join.py) — the at-scale default
+    from sigmod2018_tpu.ops import ms_join as msj
+
+    for key32, tag, bkx, pkx in ((True, "key32", bk2, pk2),
+                                 (False, "u64", bk, pk)):
+        def ms_member():
+            return msj.ms_fused(bkx, bv, n, pkx, pv, n, key32=key32)
+
+        t_ms = devtime(ms_member, iters=3)
+        Wp, Hp, Tp = msj.stair_plan(n, n)
+        print(f"ms member ({tag})  e2e: {t_ms * 1e3:8.2f} ms   "
+              f"{2 * n / t_ms / 1e6:6.1f} Mrows/s   "
+              f"({sol / t_ms * 100:.1f}% of SOL)  "
+              f"[W={Wp} H={Hp} T_cap={Tp}]")
+
+    # ms stage breakdown (key32): sort, staircase construct, kernel,
+    # unsort — the e2e is 2 sorts + 2 kernels + 2 unsorts + weighted sums
+    kb_s, perm_b = msj._sort_keys(bk2, jnp.int32(n), True)
+    kp_s, perm_p = msj._sort_keys(pk2, jnp.int32(n), True)
+    Wp, Hp, Tp = msj.stair_plan(n, n)
+    t_sort = devtime(lambda: msj._sort_keys(bk2, jnp.int32(n), True))
+    t_stair = devtime(lambda: msj.staircase_counts(
+        kb_s, jnp.int32(n), kp_s, jnp.int32(n), W=Wp, H=Hp, T_cap=Tp),
+        iters=3)
+    cnt = jnp.zeros((n,), jnp.int32)
+    t_unsort = devtime(lambda: msj._unsort(perm_p, cnt))
+    kern_bytes = 4 * n * 2 + 8 * n  # stream both key arrays + counts out
+    print(f"  ms stages: sort/side {t_sort * 1e3:6.2f} ms; staircase "
+          f"kernel {t_stair * 1e3:6.2f} ms ({kern_bytes / t_stair / 1e9:5.1f}"
+          f" GB/s, {n * (Wp + Hp) / t_stair / 1e12:5.2f} T pair-compares/s);"
+          f" unsort {t_unsort * 1e3:6.2f} ms")
+
 
 if __name__ == "__main__":
     main()
