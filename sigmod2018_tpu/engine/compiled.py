@@ -110,7 +110,13 @@ class SpecResult(PendingResult):
         return " ".join(str(int(v) & _MASK64) for v in arr[k + 1:])
 
     def line(self) -> str:
-        return self.line_from(np.asarray(self.packed))
+        try:
+            arr = np.asarray(self.packed)
+        except Exception:  # noqa: BLE001 — deferred program failure
+            if self.fetch_retry is not None:
+                return self.fetch_retry()
+            raise
+        return self.line_from(arr)
 
 
 class CompiledEngine(JaxEngine):
@@ -180,7 +186,9 @@ class CompiledEngine(JaxEngine):
             # _run_segments argument list changes, so stale exported
             # programs aren't restored (loads cost prep time even when
             # their keys can no longer match).
-            d = (os.path.join(pk[0], f"vault2-{pk[1]}-{pk[2]}")
+            from .vault import generation_dir
+
+            d = (generation_dir(pk[0], f"vault2-{pk[1]}-{pk[2]}")
                  if pk is not None else None)
             v = ProgramVault(d)
             self.__dict__["_vault_obj"] = v
@@ -355,13 +363,17 @@ class CompiledEngine(JaxEngine):
                         and tuple(learned) != classes):
                     out = call()
                     if n_classes:
-                        return SpecResult(
+                        res = SpecResult(
                             out, len(query.views), classes,
                             self.config.max_intermediate,
                             self._make_retry(query, args, guard),
                             record=self._make_recorder(query, n_classes))
-                    return SpecResult(out, len(query.views), (), 0,
-                                      retry=lambda: "")
+                    else:
+                        res = SpecResult(out, len(query.views), (), 0,
+                                         retry=lambda: "")
+                    res.fetch_retry = self._make_fetch_retry(
+                        call, query, args, guard)
+                    return res
                 fast.pop(fkey, None)
         joins, cols_used, n_classes, class_idx = self._static_plan(
             query, use_planner)
@@ -445,8 +457,11 @@ class CompiledEngine(JaxEngine):
             out = call()
             if fkey is not None:
                 fast[fkey] = ((), 0, call, args)
-            return SpecResult(out, len(query.views), (), 0,
-                              retry=lambda: "")
+            res = SpecResult(out, len(query.views), (), 0,
+                             retry=lambda: "")
+            res.fetch_retry = self._make_fetch_retry(call, query, args,
+                                                     guard)
+            return res
 
         if guard and self.config.speculate:
             learned = self._learned(query)
@@ -462,13 +477,35 @@ class CompiledEngine(JaxEngine):
                 out = call()
                 if fkey is not None:
                     fast[fkey] = (classes, n_classes, call, args)
-                return SpecResult(out, len(query.views), classes,
-                                  self.config.max_intermediate if guard
-                                  else 0,
-                                  self._make_retry(query, args, guard),
-                                  record=self._make_recorder(query,
-                                                             n_classes))
+                res = SpecResult(out, len(query.views), classes,
+                                 self.config.max_intermediate if guard
+                                 else 0,
+                                 self._make_retry(query, args, guard),
+                                 record=self._make_recorder(query,
+                                                            n_classes))
+                res.fetch_retry = self._make_fetch_retry(call, query,
+                                                         args, guard)
+                return res
         return self._run_incremental(query, *args, guard=guard)
+
+    def _make_fetch_retry(self, call, query: Query, args, guard: bool):
+        """Recovery for a DEVICE-side program failure discovered at the
+        fetch (async dispatch defers errors past every dispatch-time
+        guard): disable the vault entry that served the program, then
+        re-run the query through the plain jit path.  Without this, a
+        poisoned program surfaces as a NULL line via the REPL's fault
+        isolation — a wrong answer."""
+        def fetch_retry() -> str:
+            disable = getattr(call, "vault_disable", None)
+            if disable is not None:
+                try:
+                    disable()
+                except Exception:  # noqa: BLE001
+                    pass
+            self.__dict__.get("_fastpath", {}).pop(query.text, None)
+            return self._make_retry(query, args, guard)()
+
+        return fetch_retry
 
     def _make_retry(self, query: Query, args, guard: bool):
         def retry() -> str:
@@ -497,7 +534,18 @@ class CompiledEngine(JaxEngine):
         out of the timed phase (see vault.py)."""
         cfg = self.config
         vault = self._vault()
-        if not vault.enabled:
+        # At-scale programs bypass the vault: their Pallas kernels have
+        # shown runtime INVALID_ARGUMENT failures when served through
+        # the export round-trip (deferred to the fetch, where the
+        # fetch_retry below recovers — but recovery costs a full rerun),
+        # and the vault's purpose is small-query cold-start anyway: an
+        # at-scale program's trace cost is amortized by its execution.
+        from ..ops.radix_join import RADIX_MIN_ROWS
+
+        big = (any(getattr(x, "ndim", 0) and x.shape[0] >= RADIX_MIN_ROWS
+                   for x in cols)
+               or any(c >= RADIX_MIN_ROWS for c in (classes or ())))
+        if not vault.enabled or big:
             return lambda: _run_segments(
                 skel, joins, key32, classes, cols_used, ns, cfg.min_pad,
                 cfg.fuse_final_join, cfg.join_algo, consts, cols, jkeys,
@@ -531,6 +579,8 @@ class CompiledEngine(JaxEngine):
                                  fprefs, rkeys, rbits, rvkeys, rdatas,
                                  rvals)
 
+        call.vault_disable = lambda: (vault.disable(key),
+                                      vault.note_bad_text(qtext))
         return call
 
     def _call_program(self, skel, joins, key32, classes, cols_used, ns,

@@ -90,6 +90,14 @@ class PendingResult:
     def packed_len(self) -> int:
         return 1 + self.num_views
 
+    # Optional recovery closure: re-runs the query through the plain
+    # jit path when the DEVICE execution behind `packed` failed (async
+    # dispatch defers program errors to the fetch, past any try/except
+    # at dispatch time — e.g. a stale vault-served program).  Without
+    # it a poisoned program would surface as a per-query NULL through
+    # the REPL's fault isolation: a WRONG ANSWER, not an error.
+    fetch_retry = None
+
     def line_from(self, arr) -> str:
         """Format from an already-fetched host copy of `packed`."""
         if int(arr[0]) == 0:
@@ -97,7 +105,13 @@ class PendingResult:
         return " ".join(str(int(v) & _MASK64) for v in arr[1:])
 
     def line(self) -> str:
-        return self.line_from(np.asarray(self.packed))
+        try:
+            arr = np.asarray(self.packed)
+        except Exception:  # noqa: BLE001 — deferred program failure
+            if self.fetch_retry is not None:
+                return self.fetch_retry()
+            raise
+        return self.line_from(arr)
 
 
 class IntermediateBlowup(RuntimeError):
@@ -137,11 +151,16 @@ def format_batch(results: Sequence) -> List[str]:
     error strings) pass through."""
     pend = [r for r in results if isinstance(r, PendingResult)]
     if len(pend) > 1:
-        flat = np.asarray(jnp.concatenate([r.packed for r in pend]))
-        off = 0
-        for r in pend:
-            r._fetched = flat[off:off + r.packed_len]  # type: ignore
-            off += r.packed_len
+        try:
+            flat = np.asarray(jnp.concatenate([r.packed for r in pend]))
+            off = 0
+            for r in pend:
+                r._fetched = flat[off:off + r.packed_len]  # type: ignore
+                off += r.packed_len
+        except Exception:  # noqa: BLE001 — one poisoned program must
+            pass           # not fail the batch: fall through to the
+                           # per-result fetches (each with its own
+                           # fetch_retry recovery)
     lines = []
     for r in results:
         if isinstance(r, str):

@@ -84,6 +84,27 @@ def _env_tag() -> str:
             f"{jax.config.jax_enable_x64}:{_code_tag()}")
 
 
+def generation_dir(base: str, name: str) -> str:
+    """An (env + code)-generation-specific vault directory, pruning
+    stale generations of the same name.
+
+    The generation must live in the PATH, not just the key hash:
+    load_async zeros-primes every file in the directory without knowing
+    its key preimage, so a stale-generation program (whose exported
+    kernels may no longer match the running code) would still get
+    EXECUTED during prep — observed corrupting the device for every
+    subsequent program in the process."""
+    import glob
+    import shutil
+
+    gen = hashlib.sha1(_env_tag().encode()).hexdigest()[:10]
+    d = os.path.join(base, f"{name}-g{gen}")
+    for stale in glob.glob(os.path.join(base, f"{name}-g*")):
+        if stale != d:
+            shutil.rmtree(stale, ignore_errors=True)
+    return d
+
+
 class ProgramVault:
     """Directory of serialized (jax.export) query programs + the
     in-memory table of loaded/AOT-compiled ones."""
