@@ -26,8 +26,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _fused_from_sorted(sk: jax.Array, perm: jax.Array,

@@ -48,11 +48,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_U64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-_MAX_U32 = jnp.uint32(0xFFFFFFFF)
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MAX_U32 = np.uint32(0xFFFFFFFF)
 _BIG = 0x7FFFFFFF  # plain int: a jnp scalar would be captured as a
                    # pallas kernel constant, which Mosaic rejects
 _PACK = 1 << 15    # (pi, bi) pack into one i32: pi * _PACK + bi
@@ -353,6 +354,40 @@ def _unsort(perm, x):
     O(P) scatter/gather this hardware is worst at."""
     _, out = jax.lax.sort((perm, x), num_keys=1, is_stable=False)
     return out
+
+
+@partial(jax.jit, static_argnames=("key32", "W", "H", "interpret"))
+def join_probe_count_ms(sorted_keys, n_build, probe_keys, n_probe, *,
+                        key32: bool = False, W: int = 1024, H: int = 512,
+                        interpret: bool = False):
+    """The ops/sort_join.py::join_probe_count contract on the
+    merge-staircase kernel: (lo, cnt, ccum, total) with lo/cnt per RAW
+    probe row and lo in sorted-build coordinates, so ops.join_emit
+    consumes the result unchanged — the EMITTING at-scale member
+    (intermediate joins; the reference serves every join with its radix
+    kernel, query.c:429-457 / rhjoin.c:13).
+
+    `sorted_keys`: the build side prep-sorted by join_build (u32 when
+    its key32 path produced it, else u64; a u64 array is downcast here
+    when `key32` — catalog stats bound every value under 2^32, and the
+    stable sort order is preserved by the downcast).  `probe_keys`: raw
+    (unsorted, padded) u64.  One probe-side sort + the staircase kernel
+    + two u32 unsorts, replacing join_probe_count's two rank sorts of
+    Pb + 2*Pp elements."""
+    n_build = jnp.int32(n_build)
+    n_probe = jnp.int32(n_probe)
+    kb = (sorted_keys.astype(jnp.uint32)
+          if key32 and sorted_keys.dtype == jnp.uint64 else sorted_keys)
+    kp_s, perm_p = _sort_keys(probe_keys, n_probe, key32)
+    Wp, Hp, Tp = stair_plan(kb.shape[0], kp_s.shape[0], W, H)
+    cnt_s, lo_s = staircase_counts(kb, n_build, kp_s, n_probe,
+                                   W=Wp, H=Hp, T_cap=Tp,
+                                   interpret=interpret)
+    cnt = _unsort(perm_p, cnt_s)
+    lo = _unsort(perm_p, lo_s)
+    from .sort_join import _ccum_total
+
+    return (lo, cnt, *_ccum_total(cnt))
 
 
 @partial(jax.jit, static_argnames=("key32", "W", "H", "interpret"))

@@ -47,6 +47,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .radix_join import (
     ALIGN,
@@ -58,7 +59,7 @@ from .radix_join import (
     _slotfill,
 )
 
-_MAX_U32 = jnp.uint32(0xFFFFFFFF)
+_MAX_U32 = np.uint32(0xFFFFFFFF)
 
 
 def qd_static_plan(Pb: int, Pp: int, SPb: int = 256,

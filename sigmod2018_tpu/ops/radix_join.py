@@ -64,7 +64,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_U64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 ALIGN = 1024          # 1-D HBM refs are (1024)-tiled: DMA offsets/sizes
 MAX_SLOTS = 1 << 13   # per-bucket slot cap (padding economics, not VMEM)
 VMEM_SLOT_BUDGET = 3 << 18  # build-matrix slots resident per kernel call

@@ -28,9 +28,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-_PAD_KEY32 = jnp.uint32(0xFFFFFFFF)
+_PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PAD_KEY32 = np.uint32(0xFFFFFFFF)
 
 
 def _ccum_total(cnt: jax.Array):

@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 AXIS = "shards"
-_PAD_KEY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:

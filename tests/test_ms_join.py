@@ -144,3 +144,59 @@ def test_fused_presorted_sides_match():
                        presorted_b=pre_b, presorted_p=pre_p)
     for a, b in zip(base, pres):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("key32", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_join_probe_count_ms_matches_searchsorted(seed, key32):
+    """The emitting contract: (lo, cnt, ccum, total) per RAW probe row
+    must equal ops/sort_join.py::join_probe_count's (the reference
+    serves every join with one kernel, rhjoin.c:13 — this member gives
+    intermediate joins the staircase path)."""
+    from sigmod2018_tpu.ops import sort_join as sj
+
+    rng = np.random.default_rng(seed)
+    Pb, Pp = 1024, 2048
+    nb, npp = 700, 1900
+    kb = np.zeros(Pb, np.uint64)
+    kb[:nb] = rng.integers(0, 400, nb)
+    kp = np.zeros(Pp, np.uint64)
+    kp[:npp] = rng.integers(0, 400, npp)
+    sk, perm = sj.join_build(jnp.asarray(kb), jnp.int32(nb), key32=key32)
+    lo_a, cnt_a, ccum_a, tot_a = sj.join_probe_count(
+        sk, jnp.int32(nb), jnp.asarray(kp), jnp.int32(npp))
+    lo_b, cnt_b, ccum_b, tot_b = ms.join_probe_count_ms(
+        sk, jnp.int32(nb), jnp.asarray(kp), jnp.int32(npp),
+        key32=key32, W=64, H=32, interpret=True)
+    ca, cb = np.asarray(cnt_a), np.asarray(cnt_b)
+    np.testing.assert_array_equal(ca, cb)
+    m = ca > 0
+    np.testing.assert_array_equal(np.asarray(lo_a)[m], np.asarray(lo_b)[m])
+    np.testing.assert_array_equal(np.asarray(ccum_a), np.asarray(ccum_b))
+    assert int(tot_a) == int(tot_b)
+    # join_emit consumes both identically (same pairs)
+    P = 4096
+    ba, pa = sj.join_emit(perm, lo_a, ccum_a, tot_a, out_size=P)
+    bb, pb = sj.join_emit(perm, lo_b, ccum_b, tot_b, out_size=P)
+    np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_join_probe_count_ms_u64_values():
+    """Values past 2^32 exercise the 2-limb staircase path."""
+    from sigmod2018_tpu.ops import sort_join as sj
+
+    rng = np.random.default_rng(7)
+    Pb = Pp = 512
+    nb, npp = 400, 450
+    kb = np.zeros(Pb, np.uint64)
+    kb[:nb] = rng.integers(0, 200, nb).astype(np.uint64) << np.uint64(40)
+    kp = np.zeros(Pp, np.uint64)
+    kp[:npp] = rng.integers(0, 200, npp).astype(np.uint64) << np.uint64(40)
+    sk, perm = sj.join_build(jnp.asarray(kb), jnp.int32(nb))
+    a = sj.join_probe_count(sk, jnp.int32(nb), jnp.asarray(kp),
+                            jnp.int32(npp))
+    b = ms.join_probe_count_ms(sk, jnp.int32(nb), jnp.asarray(kp),
+                               jnp.int32(npp), W=64, H=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert int(a[3]) == int(b[3])

@@ -3,9 +3,10 @@
 Measures, on the real chip, `ops/sort_join.py::join_probe_count` (ranks
 over the concatenated [build, probe, probe+1] array — two sorts of
 Pb + 2*Pp elements) against `ops/ms_join.py::join_probe_count_ms` (one
-probe-side sort + the merge-staircase kernel + one u32 unsort), for u64
-and key32 keys, across sizes.  Sets/validates EMIT_MS_MIN_ROWS (the
-`join_probe_count_auto` crossover).
+probe-side sort + the merge-staircase kernel + two u32 unsorts), for
+u64 and key32 keys, across sizes.  The measured crossover picks
+EMIT_MS_MIN_ROWS in engine/compiled.py (the padded size above which
+intermediate joins take the staircase counting path).
 
 Methodology matches tools/roofline.py: amortized back-to-back async
 dispatches drained by one sync, tunnel RTT subtracted.
@@ -83,9 +84,16 @@ def main() -> None:
 
             t_ss = devtime(f_ss)
             t_ms = devtime(f_ms)
-            # parity while we're here
+            # parity while we're here: per-row cnt arrays, and lo
+            # wherever a row has matches (lo is undefined at cnt==0)
             a = f_ss()
             b = f_ms()
+            ca, cb = np.asarray(a[1]), np.asarray(b[1])
+            assert np.array_equal(ca, cb), (logn, key32, "cnt mismatch")
+            la, lb = np.asarray(a[0]), np.asarray(b[0])
+            m = ca > 0
+            assert np.array_equal(la[m], lb[m]), (logn, key32,
+                                                  "lo mismatch")
             assert int(a[3]) == int(b[3]), (logn, key32, int(a[3]),
                                             int(b[3]))
             tag = "u32" if key32 else "u64"
