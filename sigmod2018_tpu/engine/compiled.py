@@ -314,12 +314,14 @@ class CompiledEngine(JaxEngine):
 
         return record if k else None
 
-    def execute_async(self, query: Query) -> Result:
+    def _execute_async_device(self, query: Query) -> Result:
+        # Overrides the step-wise path; the base execute_async wraps this
+        # with the poisoned-device short-circuit + host-oracle recovery.
         try:
             return self._execute_compiled(query, use_planner=True,
                                           guard=True)
         except _Fallback:
-            return super().execute_async(query)
+            return super()._execute_async_device(query)
         except IntermediateBlowup:
             return self._retry_text_order(query)
 
@@ -338,7 +340,7 @@ class CompiledEngine(JaxEngine):
             return self._execute_compiled(query, use_planner=False,
                                           guard=False)
         except _Fallback:
-            return super().execute_async(query)
+            return super()._execute_async_device(query)
 
     def _execute_compiled(self, query: Query, use_planner: bool,
                           guard: bool) -> Result:
@@ -509,11 +511,18 @@ class CompiledEngine(JaxEngine):
 
     def _make_retry(self, query: Query, args, guard: bool):
         def retry() -> str:
+            # The device retry can itself die when the first failure
+            # wedged the process's device state (observed on the
+            # tunneled TPU backend): the host oracle is the tier that
+            # cannot be poisoned — exact answer, batch survives.
             try:
-                res = self._run_incremental(query, *args, guard=guard)
-            except IntermediateBlowup:
-                res = self._retry_text_order(query)
-            return res.line()
+                try:
+                    res = self._run_incremental(query, *args, guard=guard)
+                except IntermediateBlowup:
+                    res = self._retry_text_order(query)
+                return res if isinstance(res, str) else res.line()
+            except Exception:  # noqa: BLE001 — device wedged
+                return self._last_resort_or_raise(query)
 
         return retry
 

@@ -373,9 +373,71 @@ class JaxEngine:
     # ---- execution -------------------------------------------------------
 
     def execute(self, query: Query) -> str:
-        return self.execute_async(query).line()
+        res = self.execute_async(query)
+        return res if isinstance(res, str) else res.line()
+
+    # ---- last-resort host execution (device failure recovery) -----------
+    # The observed worst case on the tunneled TPU backend: one failed
+    # device execution leaves the WHOLE process's device state wedged —
+    # every later dispatch (and even trivial programs) raises
+    # INVALID_ARGUMENT (round-3 bench crash).  No in-process device
+    # retry can work then.  The recovery that always works is the host:
+    # the NumPy oracle (engine/oracle.py) shares no device state and is
+    # exact, so a failed query re-runs there — the answer stays CORRECT
+    # (never a NULL-for-wrong-answer), the batch and process survive.
+    # When the device itself is unhealthy, the engine flips to
+    # oracle-only serving for the rest of the process.
+
+    def _device_healthy(self) -> bool:
+        try:
+            import jax
+
+            jax.block_until_ready(jnp.zeros((8,), jnp.int32) + 1)
+            return True
+        except Exception:  # noqa: BLE001 — any failure = unhealthy
+            return False
+
+    def _last_resort(self, query: Query) -> Optional[str]:
+        """Exact host-side answer after a device-side failure (or None
+        when even the oracle cannot answer).  Flips the engine into
+        oracle-only mode when the device no longer executes anything."""
+        import sys
+
+        poisoned = self.__dict__.get("_device_poisoned", False)
+        if not poisoned and not self._device_healthy():
+            self.__dict__["_device_poisoned"] = True
+            print("device unhealthy: serving remaining queries from the "
+                  "host oracle", file=sys.stderr)
+        try:
+            from .oracle import execute_query_numpy
+
+            return execute_query_numpy(query, self.catalog)
+        except Exception as exc:  # noqa: BLE001
+            print(f"oracle fallback failed: {exc!r} in {query.text!r}",
+                  file=sys.stderr)
+            return None
+
+    def _last_resort_or_raise(self, query: Query) -> str:
+        line = self._last_resort(query)
+        if line is None:
+            raise RuntimeError(
+                f"device failure and oracle fallback failed: {query.text!r}")
+        return line
 
     def execute_async(self, query: Query) -> Result:
+        if self.__dict__.get("_device_poisoned"):
+            return self._last_resort_or_raise(query)
+        try:
+            res = self._execute_async_device(query)
+        except (IntermediateBlowup, RecursionError):
+            raise
+        except Exception:  # noqa: BLE001 — dispatch-time device failure
+            return self._last_resort_or_raise(query)
+        if isinstance(res, PendingResult) and res.fetch_retry is None:
+            res.fetch_retry = lambda: self._last_resort_or_raise(query)
+        return res
+
+    def _execute_async_device(self, query: Query) -> Result:
         try:
             return self._dispatch(query, use_planner=True, guard=True)
         except IntermediateBlowup:

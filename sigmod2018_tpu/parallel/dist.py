@@ -80,6 +80,18 @@ def _dest_of(keys: jax.Array, live: jax.Array, ndev: int) -> jax.Array:
     return jnp.where(live, d, jnp.int32(ndev))
 
 
+def send_hist_max(keys: jax.Array, live: jax.Array, ndev: int) -> jax.Array:
+    """Max per-destination send count on this chip, UNTRUNCATED (i32
+    scalar).  The validation value for learned exchange caps
+    (dist_compiled.py): a send buffer sized below this value dropped
+    rows, so the host must retry with full caps.  Shares its
+    destination/histogram subexpressions with partition_multi — XLA
+    CSEs them inside one program."""
+    dest = _dest_of(keys, live, ndev)
+    hist = jnp.bincount(dest, length=ndev + 1).astype(jnp.int32)
+    return jnp.max(hist[:ndev])
+
+
 def partition_for_exchange(keys: jax.Array, payload: jax.Array,
                            live: jax.Array, ndev: int, cap: int):
     """Group local rows into [ndev, cap] per-destination send buffers.

@@ -63,32 +63,49 @@ from .dist import (
     local_join_checksum_multi,
     make_mesh,
     partition_multi,
+    send_hist_max,
     shard_map,
 )
 from .. import ops
 
 
 class DistSpecResult(SpecResult):
-    """Packed [t_1..t_k, m_1..m_k, count, sums...]: t = psum'd global
-    totals (blowup guard), m = pmax'd per-chip totals (cap validation)."""
+    """Packed [t_1..t_k, m_1..m_k, x_1..x_nx, count, sums...]:
+    t = psum'd global totals (blowup guard), m = pmax'd per-chip totals
+    (size-class validation), x = pmax'd per-destination send maxima
+    (exchange-cap validation — 2 per join slot, zeros where the join
+    did not shuffle)."""
+
+    def __init__(self, *args, xcaps: Tuple[int, ...] = (),
+                 record_x=None, **kw):
+        super().__init__(*args, **kw)
+        self.xcaps = xcaps
+        self.record_x = record_x
 
     @property
     def packed_len(self) -> int:
-        return 2 * len(self.classes) + 1 + self.num_views
+        return (2 * len(self.classes) + len(self.xcaps)
+                + 1 + self.num_views)
 
     def line_from(self, arr) -> str:
         k = len(self.classes)
+        nx = len(self.xcaps)
         totals = [int(t) for t in arr[:k]]
         lmax = [int(m) for m in arr[k:2 * k]]
-        if self.record is not None:
-            self.record(tuple(lmax))  # learn per-chip caps, not globals
-        if any(m > c for m, c in zip(lmax, self.classes)) or (
-            0 < self.max_intermediate < max(totals, default=0)
-        ):
+        xmax = [int(x) for x in arr[2 * k:2 * k + nx]]
+        if self.record_x is not None:
+            # learn per-chip size classes AND exchange caps
+            self.record_x(tuple(lmax), tuple(xmax))
+        elif self.record is not None:
+            self.record(tuple(lmax))
+        if (any(m > c for m, c in zip(lmax, self.classes))
+                or any(c > 0 and x > c for x, c in zip(xmax, self.xcaps))
+                or 0 < self.max_intermediate < max(totals, default=0)):
             return self.retry()
-        if int(arr[2 * k]) == 0:
+        base = 2 * k + nx
+        if int(arr[base]) == 0:
             return " ".join("NULL" for _ in range(self.num_views))
-        return " ".join(str(int(v) & _MASK64) for v in arr[2 * k + 1:])
+        return " ".join(str(int(v) & _MASK64) for v in arr[base + 1:])
 
 
 class DistCompiledEngine(CompiledEngine):
@@ -107,6 +124,12 @@ class DistCompiledEngine(CompiledEngine):
         self._spmd_programs: Dict = {}
         # bookkeeping for tests: join strategies chosen at trace time
         self.join_strategies: List[str] = []
+        # analytic per-join communication model (VERDICT r3 #9): one
+        # entry per non-selection join, appended at trace time with
+        # STATIC shapes — the bytes each strategy moves over ICI/DCN,
+        # checkable before real multi-chip hardware exists.  Printed
+        # per plan under S18_EXPLAIN=1.
+        self.comm_model: List[dict] = []
 
     def _learned_file(self):
         """Per-chip size classes are mesh-shape-specific: key the
@@ -140,6 +163,24 @@ class DistCompiledEngine(CompiledEngine):
 
     # ---- execution ----------------------------------------------------
 
+    # ---- learned per-(data, query) artifacts: size classes + caps ----
+    # The persisted value encodes BOTH the per-chip size classes and the
+    # per-join exchange caps in one flat int list:
+    #   [k, class_1..class_k, xcap_1..xcap_nx]   (nx = 2 * #joins)
+    # A cap of 0 means "full local length" (the statically-safe default
+    # a first execution uses).  The dist learned file is mesh-suffixed,
+    # so the single-chip engine never sees this encoding.
+
+    def _learn_dist(self, text: str, classes: Tuple[int, ...],
+                    xcaps: Tuple[int, ...]) -> None:
+        self._learn(text, (len(classes),) + tuple(classes) + tuple(xcaps))
+
+    def _learned_dist(self, query: Query, n_classes: int, nx: int):
+        v = self._learned(query)
+        if not v or v[0] != n_classes or len(v) != 1 + n_classes + nx:
+            return None, ()
+        return tuple(v[1:1 + n_classes]), tuple(v[1 + n_classes:])
+
     def _execute_compiled(self, query: Query, use_planner: bool,
                           guard: bool) -> Result:
         joins, cols_used, n_classes, class_idx = self._static_plan(
@@ -147,14 +188,15 @@ class DistCompiledEngine(CompiledEngine):
         skel, consts = _skeletonize(query)
         cols = tuple(self.device_column(r, c)[0] for r, c in cols_used)
         ns = tuple(self.device_column(r, c)[1] for r, c in cols_used)
+        nx = 2 * len(joins)
 
         if n_classes and guard and self.config.speculate:
-            learned = self._learned(query)
+            learned, xcaps = self._learned_dist(query, n_classes, nx)
             classes = (learned if learned is not None
-                       and len(learned) == n_classes
                        else self._guess_classes(query, joins, class_idx))
             if classes is not None:
-                fn = self._spmd_program(skel, joins, classes, cols_used, ns)
+                fn = self._spmd_program(skel, joins, classes, cols_used,
+                                        ns, xcaps)
                 out = fn(jnp.asarray(consts), *cols)
 
                 def retry() -> str:
@@ -164,13 +206,22 @@ class DistCompiledEngine(CompiledEngine):
                             n_classes, guard)
                     except IntermediateBlowup:
                         res = self._retry_text_order(query)
-                    return res.line()
+                    return res if isinstance(res, str) else res.line()
 
-                return DistSpecResult(out, len(query.views), classes,
-                                      self.config.max_intermediate if guard
-                                      else 0, retry,
-                                      record=self._make_recorder(query,
-                                                                 n_classes))
+                min_pad = self.config.min_pad
+
+                def record_x(lmax: Tuple[int, ...],
+                             xmax: Tuple[int, ...]) -> None:
+                    self._learn_dist(
+                        query.text,
+                        tuple(size_class(max(m, 1), min_pad) for m in lmax),
+                        tuple(size_class(max(x, 1), min_pad) for x in xmax))
+
+                return DistSpecResult(
+                    out, len(query.views), classes,
+                    self.config.max_intermediate if guard else 0, retry,
+                    xcaps=xcaps if xcaps else (0,) * nx,
+                    record_x=record_x)
         return self._run_incremental_spmd(query, skel, joins, cols_used, ns,
                                           consts, cols, n_classes, guard)
 
@@ -195,14 +246,18 @@ class DistCompiledEngine(CompiledEngine):
                               consts, cols, n_classes: int,
                               guard: bool) -> Result:
         classes: Tuple[int, ...] = ()
+        nx = 2 * len(joins)
         while True:
-            fn = self._spmd_program(skel, joins, classes, cols_used, ns)
+            fn = self._spmd_program(skel, joins, classes, cols_used, ns, ())
             out = fn(jnp.asarray(consts), *cols)
             if len(classes) == n_classes:
                 if classes and guard:
-                    self._learn(query.text, classes)
+                    # caps unknown on this path: persist "full" (0) caps;
+                    # the next speculative run records the real maxima.
+                    self._learn_dist(query.text, classes, (0,) * nx)
                 return DistSpecResult(out, len(query.views), classes, 0,
-                                      retry=lambda: "")
+                                      retry=lambda: "",
+                                      xcaps=(0,) * nx)
             arr = np.asarray(out)  # [g_total, l_max] — one sync per join
             total, lmax = int(arr[0]), int(arr[1])
             if total == 0:
@@ -214,16 +269,18 @@ class DistCompiledEngine(CompiledEngine):
 
     # ---- SPMD program construction ------------------------------------
 
-    def _spmd_program(self, skel, joins, classes, cols_used, ns):
-        key = (skel, joins, classes, cols_used, ns,
+    def _spmd_program(self, skel, joins, classes, cols_used, ns, xcaps=()):
+        key = (skel, joins, classes, cols_used, ns, xcaps,
                self.config.fuse_final_join)
         fn = self._spmd_programs.get(key)
         if fn is None:
-            fn = self._build_spmd(skel, joins, classes, cols_used, ns)
+            fn = self._build_spmd(skel, joins, classes, cols_used, ns,
+                                  xcaps)
             self._spmd_programs[key] = fn
         return fn
 
-    def _build_spmd(self, query: Query, joins, classes, cols_used, ns):
+    def _build_spmd(self, query: Query, joins, classes, cols_used, ns,
+                    xcaps=()):
         """Build the jitted shard_map program for one (skeleton, join
         order, classes) triple.  Incomplete `classes` ⇒ the program
         returns [psum_total, pmax_local] of the next intermediate join;
@@ -233,6 +290,34 @@ class DistCompiledEngine(CompiledEngine):
         fuse = self.config.fuse_final_join
         bcast = self.config.bcast_threshold
         strategies = self.join_strategies
+        comm_model = self.comm_model
+        explain = self.config.explain
+
+        def note_comm(idx, strategy, **kw):
+            """Trace-time (static-shape) ICI/DCN byte accounting for one
+            join.  Shuffle: both sides' [ndev, cap] send buffers cross
+            the mesh except the diagonal (1 key + payload u64 columns).
+            Broadcast: the build side (keys + liveness + payloads) is
+            all_gathered to every other chip; the probe side moves
+            nothing.  Same volume on the ring transport — it changes
+            the link pattern, not the bytes."""
+            if strategy == "shuffle":
+                per_side = lambda cap, npay: (ndev * (ndev - 1) * cap
+                                              * 8 * (1 + npay))
+                bytes_ici = (per_side(kw["cap_b"], kw["npay_b"])
+                             + per_side(kw["cap_p"], kw["npay_p"]))
+            else:
+                L = kw["L_b"]
+                bytes_ici = (ndev * (ndev - 1)
+                             * (L * 8 * (1 + kw["npay_b"]) + L))
+            entry = dict(join=idx, strategy=strategy,
+                         bytes_ici=int(bytes_ici), **kw)
+            comm_model.append(entry)
+            if explain:
+                import sys
+
+                print(f"--   comm join{idx}: {strategy} "
+                      f"bytes_ici={bytes_ici} {kw}", file=sys.stderr)
 
         colpos = {rc: i for i, rc in enumerate(cols_used)}
 
@@ -261,13 +346,21 @@ class DistCompiledEngine(CompiledEngine):
             me = jax.lax.axis_index(AXIS)
             totals: List[jax.Array] = []
             lmaxes: List[jax.Array] = []
+            # per-join exchange maxima, 2 slots per join (build, probe);
+            # zeros where the join did not shuffle — packed so the host
+            # can validate learned caps and learn tighter ones
+            xmaxes: List[jax.Array] = [jnp.uint64(0)] * (2 * len(joins))
 
             def done(packed):
-                if not totals:
+                parts = []
+                if totals:
+                    parts.append(jnp.stack(totals).astype(jnp.uint64))
+                    parts.append(jnp.stack(lmaxes).astype(jnp.uint64))
+                if xmaxes:
+                    parts.append(jnp.stack(xmaxes))
+                if not parts:
                     return packed
-                t = jnp.stack(totals).astype(jnp.uint64)
-                m = jnp.stack(lmaxes).astype(jnp.uint64)
-                return jnp.concatenate([t, m, packed])
+                return jnp.concatenate(parts + [packed])
 
             def base_col(b, c):
                 """Local shard of a base column + local live count (the
@@ -387,6 +480,8 @@ class DistCompiledEngine(CompiledEngine):
                 # hash-shuffle both sides over the mesh -----------------
                 if kb.shape[0] * ndev <= bcast:
                     strategies.append("broadcast")
+                    note_comm(idx, "broadcast", L_b=kb.shape[0],
+                              npay_b=len(pb))
                     # Gather the liveness mask alongside: live rows are a
                     # prefix per SOURCE chip but not in the concatenation,
                     # so compact PAD rows to the suffix before the join
@@ -405,10 +500,30 @@ class DistCompiledEngine(CompiledEngine):
                     npr = jnp.sum(livep.astype(jnp.int32))
                 else:
                     strategies.append("shuffle")
+                    # Send capacity per (src, dst) pair: the learned cap
+                    # when one exists (typically ~L/ndev — all_to_all
+                    # volume drops ndev× vs the full-length default),
+                    # else the sender's full local length (statically
+                    # safe — a chip cannot send more than it owns).  A
+                    # cap the data outgrew truncates; the packed xmax
+                    # below exposes that and the host retries with full
+                    # caps, so correctness never depends on the cap.
+                    cap_b, cap_p = ((xcaps[2 * idx], xcaps[2 * idx + 1])
+                                    if xcaps else (0, 0))
+                    cap_b = min(cap_b, kb.shape[0]) or kb.shape[0]
+                    cap_p = min(cap_p, kp.shape[0]) or kp.shape[0]
+                    note_comm(idx, "shuffle", cap_b=cap_b, cap_p=cap_p,
+                              npay_b=len(pb), npay_p=len(pp))
+                    xmaxes[2 * idx] = jax.lax.pmax(
+                        send_hist_max(kb, liveb, ndev), AXIS
+                    ).astype(jnp.uint64)
+                    xmaxes[2 * idx + 1] = jax.lax.pmax(
+                        send_hist_max(kp, livep, ndev), AXIS
+                    ).astype(jnp.uint64)
                     sk_b, sp_b, cnt_b = partition_multi(kb, pb, liveb, ndev,
-                                                        kb.shape[0])
+                                                        cap_b)
                     sk_p, sp_p, cnt_p = partition_multi(kp, pp, livep, ndev,
-                                                        kp.shape[0])
+                                                        cap_p)
                     via = self.config.exchange
                     rkb, rpb, nb = exchange_multi(sk_b, sp_b, cnt_b, via=via)
                     rkp, rpp, npr = exchange_multi(sk_p, sp_p, cnt_p, via=via)

@@ -179,3 +179,106 @@ def test_init_distributed_noop_without_env(monkeypatch):
 
     monkeypatch.delenv("S18_COORD_ADDR", raising=False)
     assert init_distributed() is False
+
+
+def _skewed_catalog(n=4096, dom=40):
+    """Small key domain => per-destination send counts well below the
+    full local length, so learned caps shrink the exchange buffers."""
+    rng = np.random.default_rng(77)
+    rels = [Relation(columns=[rng.integers(0, dom, n).astype(np.uint64),
+                              rng.integers(0, 1 << 30, n).astype(np.uint64),
+                              rng.integers(0, 1 << 30, n).astype(np.uint64)])
+            for _ in range(3)]
+    return Catalog(rels)
+
+
+def test_learned_exchange_caps_shrink_buffers(mesh):
+    """VERDICT r3 #6: after one execution the engine learns per-join
+    exchange caps; the next program's all_to_all buffers are sized at
+    the learned cap, not the sender's full local length."""
+    cat = _skewed_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1|0.2 1.0 2.2")
+    expect = execute_query_numpy(q, cat)
+    assert eng.execute(q) == expect          # run 1: full caps, learns
+    learned, xcaps = eng._learned_dist(q, 1, 4)
+    assert learned is not None
+    assert xcaps and all(c > 0 for c in xcaps)
+    # every cap is far below the full per-chip length (4096/8 = 512
+    # local rows; domain-40 keys over 8 destinations ≈ 64-128/dst)
+    L = 4096 // N_DEV
+    assert all(c < L for c in xcaps), xcaps
+    assert eng.execute(q) == expect          # run 2: capped buffers
+    # the capped program's exchange buffers carry the learned shapes:
+    # lower the exact program the engine now uses and assert no
+    # full-length [ndev, L] all_to_all operand remains
+    from sigmod2018_tpu.engine.compiled import _skeletonize
+
+    joins, cols_used, n_classes, class_idx = eng._static_plan(q, True)
+    skel, consts = _skeletonize(q)
+    cols = tuple(eng.device_column(r, c)[0] for r, c in cols_used)
+    ns = tuple(eng.device_column(r, c)[1] for r, c in cols_used)
+    classes, xcaps2 = eng._learned_dist(q, n_classes, 2 * len(joins))
+    fn = eng._spmd_program(skel, joins, classes, cols_used, ns, xcaps2)
+    hlo = fn.lower(jnp.asarray(consts), *cols).compile().as_text()
+    import re
+    a2a_shapes = [int(m) for line in hlo.splitlines()
+                  if "all-to-all" in line
+                  for m in re.findall(r"u64\[1,(\d+)\]", line)]
+    assert a2a_shapes, "no all-to-all buffers in the capped program"
+    assert max(a2a_shapes) <= max(xcaps2), (max(a2a_shapes), xcaps2)
+
+
+def test_undersized_exchange_cap_retries_exactly(mesh):
+    """A learned cap the data outgrew truncates the send buffers; the
+    packed per-destination maxima must expose it and the retry must
+    return the exact answer (correctness never depends on the cap)."""
+    cat = _skewed_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1|0.2 1.0 2.2")
+    expect = execute_query_numpy(q, cat)
+    assert eng.execute(q) == expect
+    learned, xcaps = eng._learned_dist(q, 1, 4)
+    # poison the caps far below the real maxima (domain-40 keys send
+    # >= 4096/40 rows to some destination; 2 rows cannot hold them)
+    eng._learn_dist(q.text, learned, (2,) * len(xcaps))
+    assert eng.execute(q) == expect          # truncation caught, retried
+
+
+def test_comm_model_pins_bytes(mesh):
+    """VERDICT r3 #9: the analytic ICI byte model is recorded per join
+    at trace time and matches the hand-computed volume of the chosen
+    strategy, so multi-chip communication is checkable without real
+    multi-chip hardware."""
+    cat = _skewed_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1|0.2 1.0 2.2")
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    shuffles = [e for e in eng.comm_model if e["strategy"] == "shuffle"]
+    assert shuffles, eng.comm_model
+    for e in shuffles:
+        per_side = lambda cap, npay: (N_DEV * (N_DEV - 1) * cap
+                                      * 8 * (1 + npay))
+        assert e["bytes_ici"] == (per_side(e["cap_b"], e["npay_b"])
+                                  + per_side(e["cap_p"], e["npay_p"]))
+    # learned caps shrink the modeled bytes on the next execution
+    before = sum(e["bytes_ici"] for e in shuffles)
+    eng.comm_model.clear()
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    shuffles2 = [e for e in eng.comm_model if e["strategy"] == "shuffle"]
+    if shuffles2:  # capped program may be cached from run 1's retry
+        after = sum(e["bytes_ici"] for e in shuffles2)
+        assert after <= before
+    # broadcast model: small build side all_gathered, probe moves nothing
+    eng2 = DistCompiledEngine(cat, EngineConfig(bcast_threshold=1 << 20),
+                              mesh=mesh)
+    assert eng2.execute(q) == execute_query_numpy(q, cat)
+    bcasts = [e for e in eng2.comm_model if e["strategy"] == "broadcast"]
+    assert bcasts
+    for e in bcasts:
+        assert e["bytes_ici"] == (N_DEV * (N_DEV - 1)
+                                  * (e["L_b"] * 8 * (1 + e["npay_b"])
+                                     + e["L_b"]))
