@@ -980,8 +980,8 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
             else:
                 sorted_keys, perm = ops.join_build(keys_b, n_b,
                                                    key32=key32[idx])
-            lo, cnt, ccum, total = ops.join_probe_count(sorted_keys, n_b,
-                                                        keys_p, n_p)
+            lo, cnt, ccum, total = ops.join_probe_count_auto(
+                sorted_keys, n_b, keys_p, n_p, key32=key32[idx])
         if class_idx >= len(classes):
             return total  # segment boundary: host picks the class
         totals.append(total)

@@ -656,8 +656,8 @@ class JaxEngine:
             else:
                 sorted_keys, perm = self._ops.join_build(keys_b, _n32(n_b),
                                                          key32=key32)
-            lo, cnt, ccum, total_dev = self._ops.join_probe_count(
-                sorted_keys, _n32(n_b), keys_p, _n32(n_p)
+            lo, cnt, ccum, total_dev = self._ops.join_probe_count_auto(
+                sorted_keys, _n32(n_b), keys_p, _n32(n_p), key32=key32
             )
         total = int(total_dev)  # the one required sync: sizes the emit
         if (guard and 0 < self.config.max_intermediate < total) or (

@@ -10,7 +10,7 @@ from .select import (
 )
 from .sort_join import (join_build, join_probe_count,
                         join_probe_count_table, join_emit)
-from .ms_join import join_probe_count_ms
+from .ms_join import join_probe_count_auto, join_probe_count_ms
 from .agg_join import (join_checksum_fused, join_checksum_fused_presorted,
                        join_checksum_fused_table,
                        join_checksum_fused_table_pref, prefix_by_perm)
@@ -29,6 +29,7 @@ __all__ = [
     "checksum",
     "join_build",
     "join_probe_count",
+    "join_probe_count_auto",
     "join_probe_count_ms",
     "join_emit",
     "join_checksum_fused",

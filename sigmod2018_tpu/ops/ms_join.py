@@ -57,13 +57,16 @@ _MAX_U32 = np.uint32(0xFFFFFFFF)
 _BIG = 0x7FFFFFFF  # plain int: a jnp scalar would be captured as a
                    # pallas kernel constant, which Mosaic rejects
 _PACK = 1 << 15    # (pi, bi) pack into one i32: pi * _PACK + bi
-# The build side rides as a [Pb, 1, 1] array so (H, 1, 1) blocks are
-# legal; XLA lays that out T(1, 128) — a 128x padded copy (4 GB at
-# 2^23 rows).  Within this cap the copy is affordable; past it the
-# caller must pick another member (fused_join_auto routes to qd).
-# TODO(layout): a rolled-lane all-pairs kernel keeps every array in
-# its natural bitcast layout and removes the cap.
-MS_MAX_ROWS = 1 << 23
+_PACK_R = 1 << 17  # rolled-kernel pack: bi needs 2^17 (Pb up to 2^27)
+# Layout switch between the two staircase kernels.  At or below this
+# build-side padded size, the broadcast kernel runs: the build rides as
+# a [Pb, 1, 1] array so (H, 1, 1) blocks are legal, which XLA lays out
+# T(1, 128) — a 128x padded copy (4 GB at 2^23 rows, the fastest form
+# while the copy is affordable).  PAST it the rolled-lane kernel
+# (_stair_kernel_rolled) serves: every array stays in its natural
+# layout (zero copies), all-pairs compares run as HS*HL lane/sublane
+# rotations — no size cap remains (VERDICT r3 #5).
+MS_BCAST_MAX_ROWS = 1 << 23
 STEP_BUDGET = 1 << 17  # max staircase steps: 512 KB of prefetched SMEM
                        # (the total SMEM budget is ~1 MB per program)
 
@@ -79,7 +82,7 @@ def _searchsorted(hay, q, side):
     return jnp.searchsorted(hay, q, side=side, method="sort")
 
 
-def _staircase(kb, kp, H: int, W: int, T_cap: int):
+def _staircase(kb, kp, H: int, W: int, T_cap: int, pack: int = _PACK):
     """Step arrays (pi, bi, T) for the monotone staircase.
 
     pi is non-decreasing and clamped to its final value for t >= T, so
@@ -108,7 +111,7 @@ def _staircase(kb, kp, H: int, W: int, T_cap: int):
     bi = jnp.clip(f[pi] + (t - start), 0, Bb - 1)
     # Steps ride prefetched SMEM, whose total budget is ~1 MB: pack
     # (pi, bi) into one i32 (both < 2^15 by stair_plan's chunk sizing).
-    return pi * jnp.int32(_PACK) + bi, T
+    return pi * jnp.int32(pack) + bi, T
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +229,154 @@ def _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal, *,
     return cnt.reshape(Pp), lo.reshape(Pp)
 
 
+def _stair_kernel_rolled(st_ref, sc_ref, *refs, W1: int, W2: int,
+                         HS: int, HL: int, limbs: int):
+    """Rolled-lane staircase step: both sides stay in NATURAL layout.
+
+    The build chunk rides as a (1, HS, HL) block of [Bb, HS, HL] (the
+    flat sorted array reshaped — zero padding, zero copies, unlike the
+    broadcast kernel's [Pb, 1, 1] input whose T(1, 128) relayout is a
+    128x padded copy) and the probe chunk as (1, W1, W2).  The [H x W]
+    all-pairs compare runs as HS*HL sublane/lane rotations: rotation
+    (rs, rl) aligns probe element (s, l) with build element
+    ((s - rs) % HS, (l - rl) % HL), so the HS*HL rotations cover every
+    (probe, build) pair of the tile exactly once.  An index tile rides
+    the same rotations, so first-match positions cost two extra rolls,
+    no mod arithmetic.  W1 must be a multiple of HS (the build tile is
+    sublane-tiled W1/HS times; period-HS rotation commutes with the
+    tiling) and W2 == HL.
+
+    This kernel removes the broadcast kernel's build-size cap: memory
+    is exactly the input bytes, so 2^24-2^27-row sides serve directly
+    (VERDICT r3 #5)."""
+    if limbs == 2:
+        kp_ref, kph_ref, kb_ref, kbh_ref, cnt_ref, lo_ref = refs
+    else:
+        kp_ref, kb_ref, cnt_ref, lo_ref = refs
+    t = pl.program_id(0)
+    T = sc_ref[0]
+    n_b = sc_ref[1]
+    n_p = sc_ref[2]
+    pi_t = st_ref[t] // jnp.int32(_PACK_R)
+    bi_t = st_ref[t] % jnp.int32(_PACK_R)
+    tm1 = jnp.maximum(t - 1, 0)
+    first = jnp.logical_or(t == 0,
+                           st_ref[tm1] // jnp.int32(_PACK_R) != pi_t)
+
+    W = W1 * W2
+    H = HS * HL
+    k = W1 // HS
+    p = kp_ref[0]                       # [W1, W2]
+    b0 = kb_ref[0]                      # [HS, HL]
+    if k > 1:                           # period-HS sublane tiling
+        b0 = jnp.concatenate([b0] * k, axis=0)
+    if limbs == 2:
+        ph = kph_ref[0]
+        bh0 = kbh_ref[0]
+        if k > 1:
+            bh0 = jnp.concatenate([bh0] * k, axis=0)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (W1, W2), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (W1, W2), 1)
+    w_glob = pi_t * jnp.int32(W) + siota * jnp.int32(W2) + liota
+    live_pt = jnp.logical_and(w_glob < n_p, t < T)
+    # unrotated build-flat-index tile: element (s, l) = (s % HS)*HL + l
+    hidx0 = jnp.mod(siota, jnp.int32(HS)) * jnp.int32(HL) + liota
+
+    def inner(rl, carry):
+        if limbs == 2:
+            cnt, lo, br, bhr, idxr = carry
+            eq = jnp.logical_and(p == br, ph == bhr)
+        else:
+            cnt, lo, br, idxr = carry
+            eq = p == br
+        h_glob = bi_t * jnp.int32(H) + idxr
+        eq = jnp.logical_and(eq, jnp.logical_and(live_pt, h_glob < n_b))
+        cnt = cnt + eq.astype(jnp.int32)
+        lo = jnp.minimum(lo, jnp.where(eq, h_glob, jnp.int32(_BIG)))
+        br = pltpu.roll(br, 1, axis=1)
+        idxr = pltpu.roll(idxr, 1, axis=1)
+        if limbs == 2:
+            bhr = pltpu.roll(bhr, 1, axis=1)
+            return cnt, lo, br, bhr, idxr
+        return cnt, lo, br, idxr
+
+    def outer(rs, carry):
+        cnt, lo = carry
+        br = pltpu.roll(b0, rs, axis=0)
+        idxr = pltpu.roll(hidx0, rs, axis=0)
+        if limbs == 2:
+            bhr = pltpu.roll(bh0, rs, axis=0)
+            cnt, lo, *_ = jax.lax.fori_loop(
+                0, HL, inner, (cnt, lo, br, bhr, idxr))
+        else:
+            cnt, lo, *_ = jax.lax.fori_loop(
+                0, HL, inner, (cnt, lo, br, idxr))
+        return cnt, lo
+
+    cnt, lo = jax.lax.fori_loop(
+        0, HS, outer,
+        (jnp.zeros((W1, W2), jnp.int32),
+         jnp.full((W1, W2), _BIG, jnp.int32)))
+
+    @pl.when(first)
+    def _init():
+        cnt_ref[:] = cnt[None]
+        lo_ref[:] = lo[None]
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        cnt_ref[:] = cnt_ref[:] + cnt[None]
+        lo_ref[:] = jnp.minimum(lo_ref[:], lo[None])
+
+
+@partial(jax.jit, static_argnames=("W", "H", "T_cap", "limbs"))
+def _stair_counts_kernel_rolled(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal,
+                                *, W: int, H: int, T_cap: int,
+                                limbs: int):
+    HS, HL = H // 128, 128
+    Pb, Pp = kb_lo.shape[0], kp_lo.shape[0]
+    Bb, Bp = Pb // H, Pp // W
+    W2 = 128
+    W1 = W // W2
+
+    def pmap(t, st_r, sc_r):
+        v = st_r[t]
+        z = v * 0
+        return jax.lax.shift_right_logical(v, z + 17), z, z
+
+    def bmap(t, st_r, sc_r):
+        v = st_r[t]
+        z = v * 0
+        return jax.lax.bitwise_and(v, z + (_PACK_R - 1)), z, z
+
+    pspec = pl.BlockSpec((1, W1, W2), pmap, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, HS, HL), bmap, memory_space=pltpu.VMEM)
+    in_specs = [pspec]
+    args = [kp_lo.reshape(Bp, W1, W2)]
+    if limbs == 2:
+        in_specs.append(pspec)
+        args.append(kp_hi.reshape(Bp, W1, W2))
+    in_specs.append(bspec)
+    args.append(kb_lo.reshape(Bb, HS, HL))
+    if limbs == 2:
+        in_specs.append(bspec)
+        args.append(kb_hi.reshape(Bb, HS, HL))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_cap,),
+        in_specs=in_specs,
+        out_specs=(pspec, pspec),
+    )
+    cnt, lo = pl.pallas_call(
+        partial(_stair_kernel_rolled, W1=W1, W2=W2, HS=HS, HL=HL,
+                limbs=limbs),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32)),
+    )(steps, scal, *args)
+    return cnt.reshape(Pp), lo.reshape(Pp)
+
+
 def _ranges_by_search(kb, n_b, kp, n_p):
     """Fallback (and oracle): exact (cnt, lo) via two rank queries —
     the ops/sort_join.py searchsorted contract on sorted arrays.  u64
@@ -284,9 +435,33 @@ def stair_plan(Pb: int, Pp: int, W: int = 1024, H: int = 512,
     return W, H, T_cap
 
 
-@partial(jax.jit, static_argnames=("W", "H", "T_cap", "interpret"))
+def stair_plan_rolled(Pb: int, Pp: int, W: int = 1024, H: int = 1024,
+                      slack: float = 1.0) -> Tuple[int, int, int]:
+    """Static sizing for the rolled-lane kernel (build > 2^23 rows).
+
+    H is a full (8, 128) build tile (HS*HL rotations cover it exactly;
+    H must be a multiple of 128 with HS = H/128 dividing W1 = W/128).
+    Pb must divide by H (padded power-of-two sizes past 2^23 always
+    do) and stay under 2^27 so bi fits the _PACK_R step packing —
+    HARD_INTERMEDIATE_CAP (engine/executor.py) already bounds any
+    materialized side at 2^27."""
+    assert Pb % H == 0 and Pb // H < _PACK_R, (Pb, H)
+    W = max(min(W, Pp), H)
+    while Pp % W:
+        W //= 2
+    assert W % H == 0, (W, H, Pp)
+    Bb = Pb // H
+    while Pp // W >= (1 << 31) // _PACK_R or int(
+            (Bb + Pp // W) * (1.0 + slack)) + 8 > STEP_BUDGET:
+        W *= 2
+    T_cap = min(int((Bb + Pp // W) * (1.0 + slack)) + 8, STEP_BUDGET)
+    return W, H, T_cap
+
+
+@partial(jax.jit,
+         static_argnames=("W", "H", "T_cap", "interpret", "rolled"))
 def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
-                     interpret: bool = False):
+                     interpret: bool = False, rolled: bool = False):
     """Per-probe-row match (cnt, lo) against the sorted build side.
 
     kb [Pb], kp [Pp]: SORTED key arrays (u32 or u64 — same dtype), pads
@@ -295,10 +470,16 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
     sentinel fallback).  Returns cnt [Pp] i32 and lo [Pp] i32 (first
     match position in the sorted build array; undefined where cnt==0),
     both in SORTED-probe coordinates.  Sync-free: a staircase longer
-    than T_cap falls back to the searchsorted branch via lax.cond."""
+    than T_cap falls back to the searchsorted branch via lax.cond.
+
+    `rolled`: run the natural-layout rotation kernel (plan via
+    stair_plan_rolled) — required past MS_BCAST_MAX_ROWS build rows,
+    where the broadcast kernel's [Pb, 1, 1] relayout copy stops
+    fitting HBM."""
     n_b = jnp.int32(n_b)
     n_p = jnp.int32(n_p)
-    steps, T = _staircase(kb, kp, H, W, T_cap)
+    steps, T = _staircase(kb, kp, H, W, T_cap,
+                          pack=_PACK_R if rolled else _PACK)
     scal = jnp.stack([T, n_b, n_p])
 
     if kb.dtype == jnp.uint64:
@@ -312,15 +493,17 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
         kp_lo, kp_hi = kp, kp
         limbs = 1
 
+    body = _stair_counts_kernel_rolled if rolled else _stair_counts_kernel
+
     def kernel(_):
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi,
-                                            steps, scal, W=W, H=H,
-                                            T_cap=T_cap, limbs=limbs)
-        return _stair_counts_kernel(kb_lo, kb_hi, kp_lo, kp_hi, steps,
-                                    scal, W=W, H=H, T_cap=T_cap,
-                                    limbs=limbs)
+                return body(kb_lo, kb_hi, kp_lo, kp_hi,
+                            steps, scal, W=W, H=H,
+                            T_cap=T_cap, limbs=limbs)
+        return body(kb_lo, kb_hi, kp_lo, kp_hi, steps,
+                    scal, W=W, H=H, T_cap=T_cap,
+                    limbs=limbs)
 
     def fallback(_):
         return _ranges_by_search(kb, n_b, kp, n_p)
@@ -379,15 +562,72 @@ def join_probe_count_ms(sorted_keys, n_build, probe_keys, n_probe, *,
     kb = (sorted_keys.astype(jnp.uint32)
           if key32 and sorted_keys.dtype == jnp.uint64 else sorted_keys)
     kp_s, perm_p = _sort_keys(probe_keys, n_probe, key32)
-    Wp, Hp, Tp = stair_plan(kb.shape[0], kp_s.shape[0], W, H)
-    cnt_s, lo_s = staircase_counts(kb, n_build, kp_s, n_probe,
-                                   W=Wp, H=Hp, T_cap=Tp,
-                                   interpret=interpret)
+    cnt_s, lo_s = _counts_auto(kb, n_build, kp_s, n_probe, W, H,
+                               interpret)
     cnt = _unsort(perm_p, cnt_s)
     lo = _unsort(perm_p, lo_s)
     from .sort_join import _ccum_total
 
     return (lo, cnt, *_ccum_total(cnt))
+
+
+def _counts_auto(kb_s, n_b, kp_s, n_p, W: int, H: int, interpret: bool):
+    """staircase_counts with the kernel layout picked by build size:
+    broadcast at or below MS_BCAST_MAX_ROWS (fastest while its 128x
+    build copy fits HBM), the natural-layout rolled kernel past it —
+    no size cap.  The rolled kernel needs the probe length to divide
+    by its W; a short probe side is padded to one chunk (dtype-max
+    tail, dead by position) and the counts sliced back."""
+    if kb_s.shape[0] <= MS_BCAST_MAX_ROWS:
+        Wp, Hp, Tp = stair_plan(kb_s.shape[0], kp_s.shape[0], W, H)
+        return staircase_counts(kb_s, n_b, kp_s, n_p, W=Wp, H=Hp,
+                                T_cap=Tp, interpret=interpret)
+    Pp = kp_s.shape[0]
+    kp_run = kp_s
+    pad = (-Pp) % 1024
+    if pad:
+        fill = jnp.full((pad,), np.array(jnp.iinfo(kp_s.dtype).max),
+                        kp_s.dtype)
+        kp_run = jnp.concatenate([kp_s, fill])
+    Wr, Hr, Tr = stair_plan_rolled(kb_s.shape[0], kp_run.shape[0],
+                                   max(W, 1024), 1024)
+    cnt, lo = staircase_counts(kb_s, n_b, kp_run, n_p, W=Wr, H=Hr,
+                               T_cap=Tr, interpret=interpret,
+                               rolled=True)
+    return cnt[:Pp], lo[:Pp]
+
+
+# Emitting-path crossover: intermediate joins whose padded sizes reach
+# this take the staircase counting member instead of searchsorted ranks
+# (tools/bench_probe.py measures the crossover on the target chip;
+# S18_EMIT_MS_MIN overrides).
+import os as _os
+
+EMIT_MS_MIN_ROWS = int(_os.environ.get("S18_EMIT_MS_MIN", str(1 << 18)))
+
+
+def join_probe_count_auto(sorted_keys, n_build, probe_keys, n_probe, *,
+                          key32: bool = False):
+    """Size-dispatched emitting-count member (the join_probe_count
+    contract): the merge-staircase kernel at scale on TPU — the same
+    kernel family that serves fused final joins now serves INTERMEDIATE
+    joins (reference: one kernel serves every join, rhjoin.c:13) — and
+    searchsorted ranks below the crossover / off-TPU.  Off-TPU at-scale
+    calls run the real kernel under Pallas interpret mode (CI)."""
+    on_tpu = jax.default_backend() == "tpu"
+    big = (max(sorted_keys.shape[0], probe_keys.shape[0])
+           >= EMIT_MS_MIN_ROWS)
+    if big:
+        if on_tpu:
+            return join_probe_count_ms(sorted_keys, n_build, probe_keys,
+                                       n_probe, key32=key32)
+        with pltpu.force_tpu_interpret_mode():
+            return join_probe_count_ms(sorted_keys, n_build, probe_keys,
+                                       n_probe, key32=key32,
+                                       interpret=True)
+    from .sort_join import join_probe_count
+
+    return join_probe_count(sorted_keys, n_build, probe_keys, n_probe)
 
 
 @partial(jax.jit, static_argnames=("key32", "W", "H", "interpret"))
@@ -416,17 +656,13 @@ def ms_fused(keys_b, vals_b, n_b, keys_p, vals_p, n_p, *,
     kb_s, perm_b = side(keys_b, n_b, presorted_b)
     kp_s, perm_p = side(keys_p, n_p, presorted_p)
 
-    Wp, Hp, Tp = stair_plan(kb_s.shape[0], kp_s.shape[0], W, H)
-    cnt_p, _ = staircase_counts(kb_s, n_b, kp_s, n_p, W=Wp, H=Hp,
-                                T_cap=Tp, interpret=interpret)
+    cnt_p, _ = _counts_auto(kb_s, n_b, kp_s, n_p, W, H, interpret)
     count = jnp.sum(cnt_p.astype(jnp.uint64))
     if vals_b.shape[0]:
         # build-side sums need per-BUILD-row counts: the same kernel
         # with the roles swapped.  Statically skipped when no view
         # lives on the build side.
-        Wb, Hb, Tb = stair_plan(kp_s.shape[0], kb_s.shape[0], W, H)
-        cnt_b, _ = staircase_counts(kp_s, n_p, kb_s, n_b, W=Wb, H=Hb,
-                                    T_cap=Tb, interpret=interpret)
+        cnt_b, _ = _counts_auto(kp_s, n_p, kb_s, n_b, W, H, interpret)
         cb = _unsort(perm_b, cnt_b).astype(jnp.uint64)
         sums_b = jnp.sum(cb[None, :] * vals_b, axis=1)
     else:

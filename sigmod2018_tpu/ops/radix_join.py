@@ -705,16 +705,13 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
 
     Pmax = max(keys_b.shape[0], keys_p.shape[0])
     on_tpu = jax.default_backend() == "tpu"
-    from .ms_join import MS_MAX_ROWS
 
+    # ms serves EVERY at-scale size: the broadcast-layout kernel up to
+    # MS_BCAST_MAX_ROWS build rows, the natural-layout rolled kernel
+    # past it (ops/ms_join.py::_counts_auto) — the former size cap and
+    # its qd fallback route are gone (VERDICT r3 #5).
     use_ms = algo == "ms" or (
-        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax
-        and Pmax <= MS_MAX_ROWS)
-    if algo == "auto" and on_tpu and Pmax > MS_MAX_ROWS:
-        # Past the ms member's build-matrix layout cap (see
-        # ops/ms_join.py MS_MAX_ROWS): the equi-depth member is the
-        # measured runner-up and has no such cap.
-        algo = "qd"
+        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax)
     if use_ms:
         # Merge-staircase member: the at-scale default.  Preferred over
         # the table member too — the rank-table gathers lose to the

@@ -551,7 +551,7 @@ class DistCompiledEngine(CompiledEngine):
 
                 # --- intermediate: chip-local sort-join emit -----------
                 sorted_keys, perm = ops.join_build(rkb, nb)
-                lo, cnt, ccum, total_loc = ops.join_probe_count(
+                lo, cnt, ccum, total_loc = ops.join_probe_count_auto(
                     sorted_keys, nb, rkp, npr)
                 g_total = jax.lax.psum(total_loc, AXIS)
                 l_max = jax.lax.pmax(total_loc, AXIS)

@@ -200,3 +200,70 @@ def test_join_probe_count_ms_u64_values():
                                jnp.int32(npp), W=64, H=32, interpret=True)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
     assert int(a[3]) == int(b[3])
+
+
+@pytest.mark.parametrize("limbs_u64", [False, True])
+def test_rolled_kernel_matches_oracle(limbs_u64):
+    """The natural-layout rolled-lane kernel (the past-2^23 member,
+    VERDICT r3 #5) must produce the broadcast kernel's exact counts.
+    Run at small shapes with H=128 (HS=1) under interpret mode; the
+    rotation-coverage logic is size-independent."""
+    rng = np.random.default_rng(5)
+    Pb, Pp = 2048, 4096
+    nb, npp = 1800, 3900
+    dt = np.uint64
+    kb = np.full(Pb, np.iinfo(dt).max, dt)
+    kb[:nb] = np.sort(rng.integers(0, 700, nb).astype(dt)
+                      << (np.uint64(40) if limbs_u64 else np.uint64(0)))
+    kp = np.full(Pp, np.iinfo(dt).max, dt)
+    kp[:npp] = np.sort(rng.integers(0, 700, npp).astype(dt)
+                       << (np.uint64(40) if limbs_u64 else np.uint64(0)))
+    W, H, T = ms.stair_plan_rolled(Pb, Pp, W=128, H=128)
+    cnt, lo = ms.staircase_counts(jnp.asarray(kb), nb, jnp.asarray(kp),
+                                  npp, W=W, H=H, T_cap=T,
+                                  interpret=True, rolled=True)
+    ecnt, elo = _oracle(kb[:nb], nb, kp, npp)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npp], ecnt[:npp])
+    m = ecnt[:npp] > 0
+    np.testing.assert_array_equal(np.asarray(lo)[:npp][m], elo[:npp][m])
+    assert np.all(np.asarray(cnt)[npp:] == 0)
+
+
+def test_rolled_kernel_multi_sublane_tiles():
+    """HS > 1 (H=512 -> HS=4) with W1 a multiple of HS: the sublane
+    rotation + period-HS tiling path."""
+    rng = np.random.default_rng(6)
+    Pb, Pp = 4096, 4096
+    nb, npp = 4000, 4000
+    kb = np.full(Pb, np.iinfo(np.uint64).max, np.uint64)
+    kb[:nb] = np.sort(rng.integers(0, 900, nb).astype(np.uint64))
+    kp = np.full(Pp, np.iinfo(np.uint64).max, np.uint64)
+    kp[:npp] = np.sort(rng.integers(0, 900, npp).astype(np.uint64))
+    W, H, T = ms.stair_plan_rolled(Pb, Pp, W=512, H=512)
+    assert H == 512 and W % H == 0
+    cnt, lo = ms.staircase_counts(jnp.asarray(kb), nb, jnp.asarray(kp),
+                                  npp, W=W, H=H, T_cap=T,
+                                  interpret=True, rolled=True)
+    ecnt, elo = _oracle(kb[:nb], nb, kp, npp)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npp], ecnt[:npp])
+    m = ecnt[:npp] > 0
+    np.testing.assert_array_equal(np.asarray(lo)[:npp][m], elo[:npp][m])
+
+
+def test_counts_auto_pads_short_probe(monkeypatch):
+    """_counts_auto: a probe shorter than the rolled kernel's chunk is
+    padded to one chunk and sliced back (huge build, tiny probe)."""
+    monkeypatch.setattr(ms, "MS_BCAST_MAX_ROWS", 512)  # force rolled
+    rng = np.random.default_rng(8)
+    Pb, Pp = 2048, 128
+    nb, npp = 2000, 100
+    kb = np.full(Pb, np.iinfo(np.uint64).max, np.uint64)
+    kb[:nb] = np.sort(rng.integers(0, 300, nb).astype(np.uint64))
+    kp = np.full(Pp, np.iinfo(np.uint64).max, np.uint64)
+    kp[:npp] = np.sort(rng.integers(0, 300, npp).astype(np.uint64))
+    # _counts_auto pads Pp=128 -> 1024... wait: pad to multiple of 1024
+    cnt, lo = ms._counts_auto(jnp.asarray(kb), jnp.int32(nb),
+                              jnp.asarray(kp), jnp.int32(npp),
+                              1024, 1024, True)
+    ecnt, elo = _oracle(kb[:nb], nb, kp, npp)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npp], ecnt[:npp])
