@@ -293,30 +293,33 @@ def _stair_kernel_rolled(st_ref, sc_ref, *refs, W1: int, W2: int,
         eq = jnp.logical_and(eq, jnp.logical_and(live_pt, h_glob < n_b))
         cnt = cnt + eq.astype(jnp.int32)
         lo = jnp.minimum(lo, jnp.where(eq, h_glob, jnp.int32(_BIG)))
-        br = pltpu.roll(br, 1, axis=1)
-        idxr = pltpu.roll(idxr, 1, axis=1)
+        # tpu.dynamic_rotate requires an i32 shift (the x64 default
+        # would trace Python ints / fori indices as i64)
+        one = jnp.int32(1)
+        br = pltpu.roll(br, one, axis=1)
+        idxr = pltpu.roll(idxr, one, axis=1)
         if limbs == 2:
-            bhr = pltpu.roll(bhr, 1, axis=1)
+            bhr = pltpu.roll(bhr, one, axis=1)
             return cnt, lo, br, bhr, idxr
         return cnt, lo, br, idxr
 
-    def outer(rs, carry):
-        cnt, lo = carry
-        br = pltpu.roll(b0, rs, axis=0)
-        idxr = pltpu.roll(hidx0, rs, axis=0)
+    # Outer sublane rotations unroll in Python (HS <= 8 static
+    # iterations): static-shift rolls only, and one fewer fori nesting
+    # level (a doubly-nested fori inside the pallas trace was observed
+    # to exhaust the Python recursion limit at trace time).
+    cnt = jnp.zeros((W1, W2), jnp.int32)
+    lo = jnp.full((W1, W2), _BIG, jnp.int32)
+    for rs in range(HS):
+        s32 = jnp.int32(rs)
+        br = pltpu.roll(b0, s32, axis=0)
+        idxr = pltpu.roll(hidx0, s32, axis=0)
         if limbs == 2:
-            bhr = pltpu.roll(bh0, rs, axis=0)
+            bhr = pltpu.roll(bh0, s32, axis=0)
             cnt, lo, *_ = jax.lax.fori_loop(
                 0, HL, inner, (cnt, lo, br, bhr, idxr))
         else:
             cnt, lo, *_ = jax.lax.fori_loop(
                 0, HL, inner, (cnt, lo, br, idxr))
-        return cnt, lo
-
-    cnt, lo = jax.lax.fori_loop(
-        0, HS, outer,
-        (jnp.zeros((W1, W2), jnp.int32),
-         jnp.full((W1, W2), _BIG, jnp.int32)))
 
     @pl.when(first)
     def _init():
