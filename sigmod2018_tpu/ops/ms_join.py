@@ -43,6 +43,7 @@ ORIGINAL value columns.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -332,6 +333,60 @@ def _stair_kernel_rolled(st_ref, sc_ref, *refs, W1: int, W2: int,
         lo_ref[:] = jnp.minimum(lo_ref[:], lo[None])
 
 
+def _stair_kernel_nat(st_ref, sc_ref, *refs, W1: int, W2: int,
+                      HS: int, HL: int, limbs: int):
+    """Natural-layout staircase step via in-kernel relayout: the build
+    chunk arrives as a (1, HS, HL) block of [Bb, HS, HL] (zero HBM
+    copies) and is reshaped in-register to (H, 1, 1); the compare is
+    then the broadcast kernel's single [H, W1, W2] equality tile.  One
+    relayout per staircase step, amortized over H*W compares —
+    replaces the rolled variant's HS*HL-iteration rotation loop, which
+    measured 10x slower than qd at 2^24 (loop-overhead-bound)."""
+    if limbs == 2:
+        kp_ref, kph_ref, kb_ref, kbh_ref, cnt_ref, lo_ref = refs
+    else:
+        kp_ref, kb_ref, cnt_ref, lo_ref = refs
+    t = pl.program_id(0)
+    T = sc_ref[0]
+    n_b = sc_ref[1]
+    n_p = sc_ref[2]
+    pi_t = st_ref[t] // jnp.int32(_PACK_R)
+    bi_t = st_ref[t] % jnp.int32(_PACK_R)
+    tm1 = jnp.maximum(t - 1, 0)
+    first = jnp.logical_or(t == 0,
+                           st_ref[tm1] // jnp.int32(_PACK_R) != pi_t)
+
+    H = HS * HL
+    p = kp_ref[:]                          # (1, W1, W2)
+    b = jnp.reshape(kb_ref[:], (H, 1, 1))  # in-register relayout
+    eq = b == p                            # [H, W1, W2]
+    if limbs == 2:
+        bh = jnp.reshape(kbh_ref[:], (H, 1, 1))
+        eq = jnp.logical_and(eq, bh == kph_ref[:])
+    h_glob = (jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+              + bi_t * jnp.int32(H))
+    w_glob = (jax.lax.broadcasted_iota(jnp.int32, (1, W1, W2), 1)
+              * jnp.int32(W2)
+              + jax.lax.broadcasted_iota(jnp.int32, (1, W1, W2), 2)
+              + pi_t * jnp.int32(W1 * W2))
+    live = ((h_glob < n_b) & (w_glob < n_p)) & (t < T)
+    eq = jnp.logical_and(eq, live)
+    c = jnp.sum(eq.astype(jnp.int32), axis=0, keepdims=True,
+                dtype=jnp.int32)
+    lo = jnp.min(jnp.where(eq, jnp.broadcast_to(h_glob, (H, W1, W2)),
+                           jnp.int32(_BIG)), axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _init():
+        cnt_ref[:] = c
+        lo_ref[:] = lo
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        cnt_ref[:] = cnt_ref[:] + c
+        lo_ref[:] = jnp.minimum(lo_ref[:], lo)
+
+
 @partial(jax.jit, static_argnames=("W", "H", "T_cap", "limbs"))
 def _stair_counts_kernel_rolled(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal,
                                 *, W: int, H: int, T_cap: int,
@@ -370,8 +425,11 @@ def _stair_counts_kernel_rolled(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal,
         in_specs=in_specs,
         out_specs=(pspec, pspec),
     )
+    body_kernel = (_stair_kernel_rolled
+                   if _os.environ.get("S18_MS_ROLLKERN") == "1"
+                   else _stair_kernel_nat)
     cnt, lo = pl.pallas_call(
-        partial(_stair_kernel_rolled, W1=W1, W2=W2, HS=HS, HL=HL,
+        partial(body_kernel, W1=W1, W2=W2, HS=HS, HL=HL,
                 limbs=limbs),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((Bp, W1, W2), jnp.int32),
@@ -604,8 +662,6 @@ def _counts_auto(kb_s, n_b, kp_s, n_p, W: int, H: int, interpret: bool):
 # this take the staircase counting member instead of searchsorted ranks
 # (tools/bench_probe.py measures the crossover on the target chip;
 # S18_EMIT_MS_MIN overrides).
-import os as _os
-
 EMIT_MS_MIN_ROWS = int(_os.environ.get("S18_EMIT_MS_MIN", str(1 << 18)))
 
 
