@@ -413,6 +413,18 @@ class JaxEngine:
 
             return execute_query_numpy(query, self.catalog)
         except Exception as exc:  # noqa: BLE001
+            # Blowup queries overflow the materializing oracle's cap;
+            # forest-shaped ones are answered exactly WITHOUT
+            # materialization by the factorized NumPy twin (the same
+            # math the device factorized path runs).
+            try:
+                from .factorized import execute_query_factorized_np
+
+                line = execute_query_factorized_np(query, self.catalog)
+                if line is not None:
+                    return line
+            except Exception:  # noqa: BLE001
+                pass
             print(f"oracle fallback failed: {exc!r} in {query.text!r}",
                   file=sys.stderr)
             return None

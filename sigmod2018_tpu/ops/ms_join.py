@@ -425,9 +425,14 @@ def _stair_counts_kernel_rolled(kb_lo, kb_hi, kp_lo, kp_hi, steps, scal,
         in_specs=in_specs,
         out_specs=(pspec, pspec),
     )
-    body_kernel = (_stair_kernel_rolled
-                   if _os.environ.get("S18_MS_ROLLKERN") == "1"
-                   else _stair_kernel_nat)
+    # The reshape variant (_stair_kernel_nat) is the faster design but
+    # this Mosaic rejects its in-kernel (1, HS, HL) -> (H, 1, 1)
+    # reshape ("tpu.reshape" internal error on hardware, 2026-08-20);
+    # keep it selectable for future toolchains, default to the
+    # rotation kernel which is verified correct on the chip.
+    body_kernel = (_stair_kernel_nat
+                   if _os.environ.get("S18_MS_NATKERN") == "1"
+                   else _stair_kernel_rolled)
     cnt, lo = pl.pallas_call(
         partial(body_kernel, W1=W1, W2=W2, HS=HS, HL=HL,
                 limbs=limbs),
@@ -674,9 +679,15 @@ def join_probe_count_auto(sorted_keys, n_build, probe_keys, n_probe, *,
     searchsorted ranks below the crossover / off-TPU.  Off-TPU at-scale
     calls run the real kernel under Pallas interpret mode (CI)."""
     on_tpu = jax.default_backend() == "tpu"
+    # Bounded by the broadcast-layout cap on the BUILD side: past it the
+    # staircase would run the rotation kernel, which measures well below
+    # the searchsorted ranks (8.5 s vs ~0.5 s at 2^24) — the ranks member
+    # stays the at-scale emitting fallback there.
     big = (max(sorted_keys.shape[0], probe_keys.shape[0])
-           >= EMIT_MS_MIN_ROWS)
-    if big:
+           >= EMIT_MS_MIN_ROWS
+           and sorted_keys.shape[0] <= MS_BCAST_MAX_ROWS)
+    forced = _os.environ.get("S18_EMIT_MS_FORCE") == "1"
+    if big and (on_tpu or forced):
         if on_tpu:
             return join_probe_count_ms(sorted_keys, n_build, probe_keys,
                                        n_probe, key32=key32)

@@ -611,9 +611,12 @@ def ms_member_selected(Pb: int, Pp: int, algo: str) -> bool:
     """Host-side mirror: True iff the merge-staircase member would run
     for these padded sizes (prep decides whether plain-sorted key
     artifacts will be consumed by the fused path)."""
+    from .ms_join import MS_BCAST_MAX_ROWS
+
     on_tpu = jax.default_backend() == "tpu"
     return algo == "ms" or (
-        algo == "auto" and on_tpu and max(Pb, Pp) >= RADIX_MIN_ROWS)
+        algo == "auto" and on_tpu
+        and RADIX_MIN_ROWS <= max(Pb, Pp) <= MS_BCAST_MAX_ROWS)
 
 
 def plan_bits(Pb: int) -> int:
@@ -706,12 +709,19 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     Pmax = max(keys_b.shape[0], keys_p.shape[0])
     on_tpu = jax.default_backend() == "tpu"
 
-    # ms serves EVERY at-scale size: the broadcast-layout kernel up to
-    # MS_BCAST_MAX_ROWS build rows, the natural-layout rolled kernel
-    # past it (ops/ms_join.py::_counts_auto) — the former size cap and
-    # its qd fallback route are gone (VERDICT r3 #5).
+    from .ms_join import MS_BCAST_MAX_ROWS
+
+    # Member choice past the broadcast-layout cap is MEASURED, not
+    # capped: at 2^24/side the qd member runs 855 ms vs the rolled
+    # staircase's 8464 ms and the sort member's 1966 ms (2026-08-20,
+    # counts/checksums agree across all three), so auto routes there;
+    # a forced algo="ms" still serves any size via the rolled kernel
+    # (natural layout, no copy — correct, just not the fastest).
     use_ms = algo == "ms" or (
-        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax)
+        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax
+        and Pmax <= MS_BCAST_MAX_ROWS)
+    if algo == "auto" and on_tpu and Pmax > MS_BCAST_MAX_ROWS:
+        algo = "qd"
     if use_ms:
         # Merge-staircase member: the at-scale default.  Preferred over
         # the table member too — the rank-table gathers lose to the

@@ -96,6 +96,7 @@ def test_emitting_ms_path_through_engine(monkeypatch):
     from sigmod2018_tpu.ops import ms_join
 
     monkeypatch.setattr(ms_join, "EMIT_MS_MIN_ROWS", 256)
+    monkeypatch.setenv("S18_EMIT_MS_FORCE", "1")  # off-TPU: interpret
     calls = []
     real = ms_join.join_probe_count_ms
 
