@@ -134,10 +134,13 @@ def main() -> None:
             log(f"warm pass 2 (serial, learned classes): {i + 1}/{nq}")
     # Pipelined warm pass: the threaded serving path (pure dispatch now —
     # every program is compiled) + output validation.
+    t0 = time.perf_counter()
     warm = [line for batch in batches for line in run_batch(batch)]
+    warm_ms = (time.perf_counter() - t0) * 1000.0
     mismatches = sum(1 for got, want in zip(warm, expected) if got != want)
     mismatches += abs(len(warm) - len(expected))
-    log(f"warm pass 3 (pipelined): mismatches={mismatches}")
+    log(f"warm pass 3 (pipelined): {warm_ms:.1f} ms, "
+        f"mismatches={mismatches}")
     if getattr(engine, "__dict__", {}).get("_device_poisoned"):
         log("WARNING: device poisoned during warm-up — timed pass would "
             "measure the host oracle; failing loud instead")

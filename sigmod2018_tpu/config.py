@@ -87,6 +87,16 @@ class EngineConfig:
     # the workload author validated).  0 disables the net.
     max_intermediate: int = 1 << 26
 
+    # Proactive factorized (Yannakakis message-passing) service: a
+    # forest-shaped query whose PLANNED max intermediate reaches this
+    # many rows answers via engine/factorized.py instead of
+    # materializing — exact, and O(sum of relation sizes) instead of
+    # O(intermediate).  Measured on workloads/scaled q11 (4-relation
+    # chain, 20M-row true intermediate): 5.0 s -> ~0.1 s.  The
+    # reference engine has no such path (it materializes always,
+    # inter_res.c).  0 disables.
+    factorize_min: int = 1 << 22
+
     # Clear jit caches after every N batches (0 = never).  The compiled
     # engine holds one program per distinct query text; unbounded query
     # diversity in a long-lived server grows host memory without this.
@@ -136,6 +146,7 @@ class EngineConfig:
             spec_margin=int(_flag("S18_SPEC_MARGIN", "8")),
             warm_replay=_flag("S18_WARM_REPLAY", "0") != "0",
             vault=_flag("S18_VAULT", "1") != "0",
+            factorize_min=int(_flag("S18_FACTORIZE_MIN", str(1 << 22))),
             spec_max=int(_flag("S18_SPEC_MAX", str(1 << 22))),
             batch_workers=int(_flag("S18_WORKERS", "8")),
             cache_clear_batches=int(_flag("S18_CACHE_CLEAR", "0")),

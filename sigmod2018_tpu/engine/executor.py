@@ -436,11 +436,51 @@ class JaxEngine:
                 f"device failure and oracle fallback failed: {query.text!r}")
         return line
 
+    def _maybe_factorized(self, query: Query) -> Optional[Result]:
+        """Proactive factorized service (engine/factorized.py): a
+        forest-shaped query whose PLANNED max intermediate reaches
+        config.factorize_min answers by Yannakakis message passing —
+        exact, never materializes the blowup.  The reference engine has
+        no equivalent (it always materializes, inter_res.c:34-141);
+        this is where the TPU design strictly beats it.  Decision
+        cached per text; None -> the materializing path serves."""
+        if (not self.config.factorize_min
+                or getattr(self.config, "mesh_devices", 1) > 1
+                or len(query.joins) < 2):
+            return None
+        cache = self.__dict__.setdefault("_fact_choice", {})
+        use = cache.get(query.text)
+        if use is False:
+            return None
+        try:
+            from ..planner.join_order import estimate_cardinalities
+
+            joins = (self._planner(query, self.catalog)
+                     if self._planner is not None else query.joins)
+            ests = estimate_cardinalities(query, self.catalog,
+                                          tuple(joins))
+        except Exception:  # noqa: BLE001 — estimator failure: materialize
+            cache[query.text] = False
+            return None
+        # the final join fuses with the checksum (never materialized):
+        # only the intermediate estimates measure materialization cost
+        if max(ests[:-1], default=0) < self.config.factorize_min:
+            cache[query.text] = False
+            return None
+        from .factorized import factorized_result
+
+        res = factorized_result(self, query)
+        if res is None:  # cyclic / duplicate-pair: not a forest
+            cache[query.text] = False
+        return res
+
     def execute_async(self, query: Query) -> Result:
         if self.__dict__.get("_device_poisoned"):
             return self._last_resort_or_raise(query)
         try:
-            res = self._execute_async_device(query)
+            res = self._maybe_factorized(query)
+            if res is None:
+                res = self._execute_async_device(query)
         except (IntermediateBlowup, RecursionError):
             raise
         except Exception:  # noqa: BLE001 — dispatch-time device failure

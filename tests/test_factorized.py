@@ -216,3 +216,52 @@ def test_engine_cyclic_blowup_falls_back_to_text_order(tmp_path,
     eng = CompiledEngine(cat, cfg)
     q = parse_query("0 1 2|0.0=1.0&1.1=2.1&2.2=0.2|0.1 2.0")
     assert eng.execute(q) == execute_query_numpy(q, cat)
+
+
+def test_proactive_factorized_for_blowup_forest(monkeypatch):
+    """A forest query whose planned intermediates cross factorize_min
+    must answer via message passing (no materialization) and stay
+    exact vs the oracle (the scaled-q11 shape: 4-relation chain with
+    multiplicative fanout)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sigmod2018_tpu.config import EngineConfig
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+    from sigmod2018_tpu.engine.oracle import execute_query_numpy
+    from sigmod2018_tpu.frontend.parser import parse_query
+    from sigmod2018_tpu.storage.catalog import Catalog
+    from sigmod2018_tpu.storage.relation import Relation
+
+    rng = np.random.default_rng(3)
+    n, dom = 4000, 400  # 10x fanout per join: chain blows up
+    rels = [Relation(columns=[rng.integers(0, dom, n).astype(np.uint64),
+                              rng.integers(0, 1 << 20, n).astype(np.uint64),
+                              rng.integers(0, dom, n).astype(np.uint64)])
+            for _ in range(4)]
+    cat = Catalog(rels)
+    cfg = dataclasses.replace(EngineConfig.from_env(),
+                              factorize_min=1 << 16,
+                              max_intermediate=1 << 30)
+    eng = CompiledEngine(cat, cfg)
+    eng.prefetch()
+    calls = []
+    import sigmod2018_tpu.engine.factorized as fz
+
+    real = fz.factorized_result
+
+    def spy(engine, query):
+        calls.append(query.text)
+        return real(engine, query)
+
+    monkeypatch.setattr(fz, "factorized_result", spy)
+    q = parse_query("0 1 2 3|0.0=1.2&1.2=2.0&2.0=3.2|1.1 0.1")
+    got = eng.execute(q)
+    assert got == execute_query_numpy(q, cat, max_rows=1 << 28)
+    assert calls, "factorized path not taken for the blowup forest"
+    # a small-estimate query must keep the materializing path
+    calls.clear()
+    q2 = parse_query("0 1|0.0=1.2&0.1>1000000|0.1 1.1")
+    eng.execute(q2)
+    assert not calls
