@@ -43,7 +43,13 @@ from pathlib import Path
 
 SMALL = Path("/root/reference/submission/workloads/small")
 # Reference C engine wall-clock on this container, idle (BASELINE.md).
-REFERENCE_MS = {"small": 892.0, "scaled": 381.0, "zipf": None}
+# None = the reference cannot produce a valid baseline there: zipf it
+# answers 1/12 wrong (empty-join NULL bug), bigdom it answers 8/8 wrong
+# (filter constants past 2^31 go through atoi into int, query.c:239),
+# zipfbig it crashes (closed stdout mid-batch).  big measured
+# 2026-08-20 via build/harness, idle, 0 mismatches.
+REFERENCE_MS = {"small": 892.0, "scaled": 381.0, "zipf": None,
+                "big": 31852.0, "bigdom": None, "zipfbig": None}
 
 _T0 = time.monotonic()
 

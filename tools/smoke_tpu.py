@@ -203,6 +203,54 @@ def main() -> None:
 
     check("vault:build+restore", vault_case)
 
+    # ---- emitting staircase member (intermediate-join contract) ---------
+    def emitting_case():
+        from sigmod2018_tpu.ops import sort_join as sj
+        from sigmod2018_tpu.ops.ms_join import join_probe_count_ms
+
+        kbj, kpj = jnp.asarray(kb64), jnp.asarray(kp64)
+        sk, perm = sj.join_build(kbj, jnp.int32(nb), key32=True)
+        a = sj.join_probe_count(sk, jnp.int32(nb), kpj, jnp.int32(npp))
+        for _ in range(3):  # repeated-execution guard
+            b = join_probe_count_ms(sk, jnp.int32(nb), kpj,
+                                    jnp.int32(npp), key32=True)
+            assert int(jax.block_until_ready(b[3])) == int(a[3])
+        ca, cb_ = np.asarray(a[1]), np.asarray(b[1])
+        assert np.array_equal(ca, cb_)
+
+    check("emitting:jpc_ms:key32", emitting_case)
+
+    # ---- proactive factorized service (blowup forest) -------------------
+    def factorized_case():
+        import dataclasses
+
+        from sigmod2018_tpu.config import EngineConfig
+        from sigmod2018_tpu.engine.compiled import CompiledEngine
+        from sigmod2018_tpu.engine.factorized import (
+            execute_query_factorized_np)
+        from sigmod2018_tpu.frontend.parser import parse_query
+        from sigmod2018_tpu.storage.catalog import Catalog
+        from sigmod2018_tpu.storage.relation import Relation
+
+        rng2 = np.random.default_rng(5)
+        rels = [Relation(columns=[
+            rng2.integers(0, 500, 50000).astype(np.uint64),
+            rng2.integers(0, 1 << 20, 50000).astype(np.uint64)])
+            for _ in range(4)]
+        cat = Catalog(rels)
+        cfg = dataclasses.replace(EngineConfig.from_env(),
+                                  factorize_min=1 << 16,
+                                  max_intermediate=1 << 30)
+        eng = CompiledEngine(cat, cfg)
+        eng.prefetch()
+        q = parse_query("0 1 2 3|0.0=1.0&1.0=2.0&2.0=3.0|1.1 0.1")
+        want = execute_query_factorized_np(q, cat)
+        for _ in range(3):
+            got = eng.execute(q)
+            assert got == want, (got, want)
+
+    check("engine:factorized-blowup-x3", factorized_case)
+
     # ---- staircase overflow -> searchsorted cond fallback ---------------
     def overflow_case():
         kb = np.zeros(1 << 12, np.uint64)  # all-equal keys: T > T_cap
