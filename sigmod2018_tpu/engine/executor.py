@@ -462,9 +462,18 @@ class JaxEngine:
         except Exception:  # noqa: BLE001 — estimator failure: materialize
             cache[query.text] = False
             return None
-        # the final join fuses with the checksum (never materialized):
-        # only the intermediate estimates measure materialization cost
-        if max(ests[:-1], default=0) < self.config.factorize_min:
+        # Two triggers.  (1) Intermediate estimates measure
+        # materialization cost directly (the final join fuses with the
+        # checksum and never materializes).  (2) A fused-final estimate
+        # 16x past the threshold flags a hot-key blowup the
+        # intermediate estimates missed (Zipf workloads: intermediates
+        # estimated ~500K, actual 10.9M — 22x under — while the final
+        # estimate was 162M and dead right about the blowup); message
+        # passing costs O(sum of relation sizes) regardless, measured
+        # 1.9 s -> ~0.1 s on those queries.
+        fmin = self.config.factorize_min
+        if (max(ests[:-1], default=0) < fmin
+                and ests[-1] < fmin * 16):
             cache[query.text] = False
             return None
         from .factorized import factorized_result
