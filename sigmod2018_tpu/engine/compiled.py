@@ -880,19 +880,35 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                     return False
                 return b == jp.binding1
 
+            # Per-side REAL-view stacks (+ slot maps for assembly): the
+            # legacy scheme padded both sides to the view count with
+            # runtime zero columns, which XLA cannot fold — measured
+            # ~44 ms/query of dead u64 multiply-sum work at 2^21 rows.
+            # The forced-radix member keeps slot padding (its prep
+            # artifact stacks are built that way below).
+            slot_padded = algo == "radix"
             zb = jnp.zeros_like(keys_b)
             zp = jnp.zeros_like(keys_p)
             brows, prows = [], []
-            for b, c in query.views:
+            b_idx, p_idx = {}, {}
+            for vi, (b, c) in enumerate(query.views):
                 coldev, _ = col_of(b, c)
                 comp = comp_l if side_of(b) else comp_r
                 vals = coldev if comp is None else coldev[row(comp, b)]
                 if side_of(b) == build_left:
+                    b_idx[vi] = len(brows)
                     brows.append(vals)
-                    prows.append(zp)
+                    if slot_padded:
+                        p_idx.pop(vi, None)
+                        prows.append(zp)
                 else:
-                    brows.append(zb)
+                    p_idx[vi] = len(prows)
                     prows.append(vals)
+                    if slot_padded:
+                        brows.append(zb)
+            if slot_padded:
+                b_idx = {vi: vi for vi in range(len(query.views))}
+                p_idx = dict(b_idx)
             table = ((tbl_b, presorted[1])
                      if tbl_b is not None and presorted is not None
                      else None)
@@ -905,17 +921,19 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                 rel_b = query.relations[bb]
                 zpref = jnp.zeros((keys_b.shape[0] + 1,), jnp.uint64)
                 rows_p, ok = [], True
-                for b, c in query.views:
+                for vi, (b, c) in enumerate(query.views):
                     if side_of(b) == build_left:
                         pr = fmap.get((rel_b, bc, c))
                         if pr is None:
                             ok = False
                             break
                         rows_p.append(pr)
-                    else:
+                    elif slot_padded:
                         rows_p.append(zpref)
                 if ok:
-                    tprefs = jnp.stack(rows_p)
+                    tprefs = (jnp.stack(rows_p) if rows_p else
+                              jnp.zeros((0, keys_b.shape[0] + 1),
+                                        jnp.uint64))
             # Prep-time radix artifacts: a side that is an unfiltered
             # base column whose artifacts were built at the bits this
             # join's plan picks (bits = f(build-side padded size)) skips
@@ -944,28 +962,45 @@ def _run_segments(query: Query, joins, key32, classes, cols_used, ns,
                         rows.append(zero)
                 return hit[1], jnp.stack(rows)
 
-            rpre_b, rvals_b = radix_side(
-                bb, bc, comp_l if build_left else comp_r, True)
+            if slot_padded:
+                rpre_b, rvals_b = radix_side(
+                    bb, bc, comp_l if build_left else comp_r, True)
+            else:
+                rpre_b, rvals_b = None, None
             pb_, pc_ = ((jp.binding2, jp.column2) if build_left
                         else (jp.binding1, jp.column1))
-            rpre_p, rvals_p = radix_side(
-                pb_, pc_, comp_r if build_left else comp_l, False)
+            if slot_padded:
+                rpre_p, rvals_p = radix_side(
+                    pb_, pc_, comp_r if build_left else comp_l, False)
+            else:
+                rpre_p, rvals_p = None, None
             # Probe-side prep sort: the merge-staircase member (the
             # at-scale default) consumes BOTH sides' plain sorted keys.
             comp_p = comp_r if build_left else comp_l
             presorted_p = (smap.get((query.relations[pb_], pc_))
                            if comp_p is None else None)
+            bstack = (jnp.stack(brows) if brows
+                      else jnp.zeros((0, keys_b.shape[0]), jnp.uint64))
+            pstack = (jnp.stack(prows) if prows
+                      else jnp.zeros((0, keys_p.shape[0]), jnp.uint64))
             count, sums_b, sums_p = ops.fused_join_auto(
-                keys_b, jnp.stack(brows), n_b, keys_p, jnp.stack(prows), n_p,
+                keys_b, bstack, n_b, keys_p, pstack, n_p,
                 algo=algo, key32=key32[idx], presorted=presorted,
                 table=table, table_prefs=tprefs,
                 radix_pre_b=rpre_b, radix_vals_b=rvals_b,
                 radix_pre_p=rpre_p, radix_vals_p=rvals_p,
                 presorted_p=presorted_p,
             )
-            return done(jnp.concatenate(
-                [count.reshape(1), sums_b + sums_p]
-            ))
+            if slot_padded:
+                return done(jnp.concatenate(
+                    [count.reshape(1), sums_b + sums_p]
+                ))
+            parts = [count.astype(jnp.uint64).reshape(1)]
+            for vi in range(len(query.views)):
+                s = (sums_b[b_idx[vi]] if vi in b_idx
+                     else sums_p[p_idx[vi]])
+                parts.append(s.reshape(1))
+            return done(jnp.concatenate(parts))
 
         if tbl_b is not None and presorted is not None:
             # Key-table path: match ranges are two gathers, no sort.

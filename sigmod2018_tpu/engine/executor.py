@@ -757,6 +757,15 @@ class JaxEngine:
     # land on each side — remote-compile servers make program-shape
     # diversity expensive.
     _FUSED_VPAD = 4
+    # Slot-padded fused view scheme: True keeps the legacy [VPAD, P]
+    # zero-column stacks whose sums_b + sums_p are view-slot aligned
+    # (the mesh engine's shuffle join is built on it).  False (single
+    # chip) passes ONLY the real views per side and assembles the
+    # packed vector per view — the runtime zero columns defeated XLA's
+    # constant folding and cost ~44 ms/query of dead u64 multiply-sum
+    # work at 2^21 rows (measured: big q03 199 ms -> the member's own
+    # ~5 ms), at the price of a few more program shapes per (Vb, Vp).
+    _fused_slot_padded = False
 
     def _zeros_u64(self, P: int) -> jax.Array:
         z = self._columns.get(("__zeros__", P))
@@ -810,44 +819,85 @@ class JaxEngine:
             presorted_p = self.device_sorted_column(
                 query.relations[pb_], pc_)
 
-        V = max(len(query.views), self._FUSED_VPAD)
         Pb = keys_b.shape[0]
-        brows = [self._zeros_u64(Pb)] * V
-        prows = [self._zeros_u64(keys_p.shape[0])] * V
         # Key-table build side: every build-side view is a base column of
         # the build relation (comp_b is None), so its prep-time prefix
         # table replaces the per-query gather + cumsum — the fused join
         # becomes probe-only (ops.join_checksum_fused_table_pref).
         use_ms = self._ops.ms_member_selected(Pb, keys_p.shape[0],
                                               self.config.join_algo)
-        prefs = ([self._zeros_u64(Pb + 1)] * V
-                 if table is not None and not use_ms
-                 and self.config.join_algo != "radix"
-                 else None)  # forced radix / at-scale ms skip the table
-                             # member (ms needs the build payload)
+        prefs_mode = (table is not None and not use_ms
+                      and self.config.join_algo != "radix")
+        # forced radix / at-scale ms skip the table member (ms needs
+        # the build payload)
+
+        if self._fused_slot_padded:
+            V = max(len(query.views), self._FUSED_VPAD)
+            brows = [self._zeros_u64(Pb)] * V
+            prows = [self._zeros_u64(keys_p.shape[0])] * V
+            prefs = [self._zeros_u64(Pb + 1)] * V if prefs_mode else None
+            for vi, (b, c) in enumerate(query.views):
+                coldev, _ = col_of(b, c)
+                comp = comp_l if side_of(b) else comp_r
+                if side_of(b) == build_left:
+                    if prefs is not None:
+                        prefs[vi] = self.device_prefix_table(
+                            query.relations[bb], bc, c)
+                    else:
+                        brows[vi] = (coldev if comp is None else
+                                     self._ops.gather_u64(coldev,
+                                                          comp.row(b)))
+                else:
+                    prows[vi] = (coldev if comp is None else
+                                 self._ops.gather_u64(coldev, comp.row(b)))
+            packed = self._fused_join_packed(
+                keys_b, jnp.stack(brows) if prefs is None else None,
+                _n32(n_b), keys_p, jnp.stack(prows), _n32(n_p),
+                key32=self._key32(query, jp), presorted=presorted,
+                table=table,
+                table_prefs=jnp.stack(prefs) if prefs is not None else None,
+                presorted_p=presorted_p,
+            )
+            return PendingResult(packed[: 1 + len(query.views)],
+                                 len(query.views))
+
+        # Per-side real-view scheme: only actual projection columns
+        # enter the program; the packed vector assembles per view.
+        brows, prows, prefs = [], [], []
+        b_idx, p_idx = {}, {}
         for vi, (b, c) in enumerate(query.views):
             coldev, _ = col_of(b, c)
             comp = comp_l if side_of(b) else comp_r
             if side_of(b) == build_left:
-                if prefs is not None:
-                    prefs[vi] = self.device_prefix_table(
-                        query.relations[bb], bc, c)
+                b_idx[vi] = len(prefs) if prefs_mode else len(brows)
+                if prefs_mode:
+                    prefs.append(self.device_prefix_table(
+                        query.relations[bb], bc, c))
                 else:
-                    brows[vi] = (coldev if comp is None else
+                    brows.append(coldev if comp is None else
                                  self._ops.gather_u64(coldev, comp.row(b)))
             else:
-                prows[vi] = (coldev if comp is None else
+                p_idx[vi] = len(prows)
+                prows.append(coldev if comp is None else
                              self._ops.gather_u64(coldev, comp.row(b)))
-
-        packed = self._fused_join_packed(
-            keys_b, jnp.stack(brows) if prefs is None else None, _n32(n_b),
-            keys_p, jnp.stack(prows), _n32(n_p),
-            key32=self._key32(query, jp), presorted=presorted, table=table,
-            table_prefs=jnp.stack(prefs) if prefs is not None else None,
-            presorted_p=presorted_p,
-        )
-        return PendingResult(packed[: 1 + len(query.views)],
-                             len(query.views))
+        bstack = (jnp.stack(brows) if brows
+                  else jnp.zeros((0, Pb), jnp.uint64))
+        pstack = (jnp.stack(prows) if prows
+                  else jnp.zeros((0, keys_p.shape[0]), jnp.uint64))
+        count, sums_b, sums_p = self._ops.fused_join_auto(
+            keys_b, None if prefs_mode else bstack, _n32(n_b),
+            keys_p, pstack, _n32(n_p),
+            algo=self.config.join_algo, key32=self._key32(query, jp),
+            presorted=presorted, table=table,
+            table_prefs=jnp.stack(prefs) if prefs_mode and prefs else
+            (jnp.zeros((0, Pb + 1), jnp.uint64) if prefs_mode else None),
+            presorted_p=presorted_p)
+        parts = [count.astype(jnp.uint64).reshape(1)]
+        for vi in range(len(query.views)):
+            s = (sums_b[b_idx[vi]] if vi in b_idx
+                 else sums_p[p_idx[vi]])
+            parts.append(s.reshape(1))
+        return PendingResult(jnp.concatenate(parts), len(query.views))
 
     def _key32(self, query, jp) -> bool:
         """True when both join key columns are < 2^32 by catalog stats —

@@ -244,30 +244,62 @@ def _jax_ops():
 def _msg_jit_factory():
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     @jax.jit
-    def msg(sk, sw, se, rk):
-        """[Ps] sender keys/weights/exists, [Pr] receiver keys ->
-        ([Pr] u64 sum, [Pr] i32 count>0).  Dead/padded sender rows carry
-        weight 0 and exists 0 (liveness folded into the mask), so no
-        live-length arguments are needed; duplicate-run-safe searchsorted
-        (method="sort" — the TPU degeneracy rule, see
-        ops/sort_join.py docstring)."""
-        # one variadic sort carries both payloads
-        ks, sw_s, se_s = jax.lax.sort((sk, sw, se), num_keys=1)
+    def msg(sw, se, perm, lo, hi):
+        """[Ps] sender weights/exists + the edge's CACHED rank
+        artifacts -> ([Pr] u64 sum, [Pr] i32 count>0).
+
+        The expensive parts of a message — the sender key sort and the
+        receiver rank queries — depend only on the two BASE key
+        columns, never on the query: `perm` is the sender's prep-time
+        sort permutation (engine.device_sorted_column) and lo/hi are
+        each receiver row's match range in that order, computed once
+        per edge per process (_edge_ranks).  What remains per message
+        is one gather + two cumsums + two prefix gathers — measured
+        ~200 ms -> ~25 ms per message at 2M rows (the previous form
+        re-sorted the sender and ran two rank sorts every call).
+
+        Dead/padded sender rows carry weight 0 and exists 0 (liveness
+        folded into the mask), so no live-length arguments are
+        needed."""
+        sw_s = jnp.take(sw, perm)
+        se_s = jnp.take(se, perm)
         pw = jnp.concatenate([jnp.zeros(1, jnp.uint64),
                               jnp.cumsum(sw_s, dtype=jnp.uint64)])
         pe = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(se_s.astype(jnp.int32))])
-        lo = jnp.searchsorted(ks, rk, side="left", method="sort")
-        hi = jnp.searchsorted(ks, rk, side="right", method="sort")
-        return pw[hi] - pw[lo], ((pe[hi] - pe[lo]) > 0).astype(jnp.int32)
+        return (jnp.take(pw, hi) - jnp.take(pw, lo),
+                ((jnp.take(pe, hi) - jnp.take(pe, lo)) > 0
+                 ).astype(jnp.int32))
 
     return msg
 
 
+def _ranks_jit_factory():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def ranks(ks, rk):
+        """(lo, hi) i32 ranks of every receiver key in the sorted
+        sender keys — duplicate-run-safe (method="sort", the TPU
+        degeneracy rule; u64 keys rank via ops/lsd.py)."""
+        if ks.dtype == jnp.uint64:
+            from ..ops.lsd import ranks_u64
+
+            lo = ranks_u64(ks, rk, side="left")
+            hi = ranks_u64(ks, rk, side="right")
+        else:
+            lo = jnp.searchsorted(ks, rk, side="left", method="sort")
+            hi = jnp.searchsorted(ks, rk, side="right", method="sort")
+        return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+    return ranks
+
+
 _MSG_JIT = None
+_RANKS_JIT = None
 
 
 def factorized_result(engine, query: Query):
@@ -275,14 +307,16 @@ def factorized_result(engine, query: Query):
     Returns a PendingResult ([exists, sums...] packed vector — the
     count slot only gates NULL formatting, so it carries the exact
     boolean, immune to mod-2^64 wrap), or None when not a forest."""
-    global _MSG_JIT
+    global _MSG_JIT, _RANKS_JIT
     plan = plan_forest(query)
     if plan is None:
         return None
     jax, jnp = _jax_ops()
     if _MSG_JIT is None:
         _MSG_JIT = _msg_jit_factory()
+        _RANKS_JIT = _ranks_jit_factory()
     msg = _MSG_JIT
+    ranks = _RANKS_JIT
     from .executor import PendingResult
 
     cols: Dict[Tuple[int, int], Tuple] = {}
@@ -292,6 +326,45 @@ def factorized_result(engine, query: Query):
         if key not in cols:
             cols[key] = engine.device_column(query.relations[b], c)
         return cols[key]
+
+    def key32_of(b: int, c: int) -> bool:
+        """True when catalog stats bound the column under 2^32: message
+        keys then sort as u32 — the TPU u64 sort comparator measures
+        ~20x the u32 one (ops/lsd.py), and each msg() is one variadic
+        sort + two rank sorts, so a 3-edge tree pays ~18 sort
+        equivalents per execution (measured 1.3 s/query at 2M rows on
+        u64, ~5x less on u32)."""
+        stats = getattr(engine.catalog, "stats", None)
+        if not stats:
+            return False
+        try:
+            return stats[query.relations[b]][c].u < (1 << 32)
+        except (IndexError, TypeError, AttributeError):
+            return False
+
+    def edge_ranks(sb, sc, rb, rc):
+        """The edge's query-independent message artifacts
+        (perm, lo, hi), cached on the engine per (relation, column)
+        pair: perm = the sender base column's prep-time sort
+        permutation, lo/hi = every receiver row's match range in that
+        order.  Keys downcast to u32 when BOTH endpoint columns' stats
+        allow (the u64 comparator is ~20x); pad rows carry weight 0
+        and exists 0, so their key values never matter."""
+        ck = (query.relations[sb], sc, query.relations[rb], rc)
+        ecache = engine.__dict__.setdefault("_fact_edge_ranks", {})
+        hit = ecache.get(ck)
+        if hit is None:
+            sk64, perm = engine.device_sorted_column(
+                query.relations[sb], sc)
+            rk = col(rb, rc)[0]
+            if key32_of(sb, sc) and key32_of(rb, rc):
+                lo, hi = ranks(sk64.astype(jnp.uint32),
+                               rk.astype(jnp.uint32))
+            else:
+                lo, hi = ranks(sk64, rk)
+            hit = (perm, lo, hi)
+            ecache[ck] = hit
+        return hit
 
     mask: Dict[int, object] = {}
     for b in plan.nodes:
@@ -329,8 +402,8 @@ def factorized_result(engine, query: Query):
 
     for comp, root, edges in zip(plan.comps, plan.roots, plan.edges):
         for e in reversed(edges):
-            mw, me = msg(col(e.child, e.ccol)[0], up_w[e.child],
-                         up_e[e.child], col(e.parent, e.pcol)[0])
+            mw, me = msg(up_w[e.child], up_e[e.child],
+                         *edge_ranks(e.child, e.ccol, e.parent, e.pcol))
             msg_w[e], msg_e[e] = mw, me
             up_w[e.parent] = up_w[e.parent] * mw
             up_e[e.parent] = up_e[e.parent] * me
@@ -343,8 +416,8 @@ def factorized_result(engine, query: Query):
                 if sib.parent == e.parent and sib is not e:
                     excl_w = excl_w * msg_w[sib]
                     excl_e = excl_e * msg_e[sib]
-            dmw, dme = msg(col(e.parent, e.pcol)[0], excl_w, excl_e,
-                           col(e.child, e.ccol)[0])
+            dmw, dme = msg(excl_w, excl_e,
+                           *edge_ranks(e.parent, e.pcol, e.child, e.ccol))
             down_w[e.child], down_e[e.child] = dmw, dme
 
     cnt_w = [jnp.sum(up_w[r], dtype=jnp.uint64) for r in plan.roots]

@@ -544,7 +544,16 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
     fitting HBM."""
     n_b = jnp.int32(n_b)
     n_p = jnp.int32(n_p)
-    steps, T = _staircase(kb, kp, H, W, T_cap,
+    # Two-tier step budget: the plan's T_cap covers the uniform case
+    # (T ~ Bb + Bp + output/(W*H)), but REAL key distributions run
+    # wider bands (workloads/big: T = 23910 vs the tight cap's 12296 —
+    # every fused join was silently taking the ~200 ms searchsorted
+    # fallback instead of the ~30 ms kernel).  A second kernel instance
+    # at 4x the cap catches those; only a genuine blowup reaches the
+    # fallback.  Padding steps are masked but still iterate, so the
+    # tight instance keeps the common case cheap.
+    T_wide = min(max(4 * T_cap, T_cap), STEP_BUDGET)
+    steps, T = _staircase(kb, kp, H, W, T_wide,
                           pack=_PACK_R if rolled else _PACK)
     scal = jnp.stack([T, n_b, n_p])
 
@@ -561,20 +570,40 @@ def staircase_counts(kb, n_b, kp, n_p, *, W: int, H: int, T_cap: int,
 
     body = _stair_counts_kernel_rolled if rolled else _stair_counts_kernel
 
-    def kernel(_):
-        if interpret:
-            with pltpu.force_tpu_interpret_mode():
-                return body(kb_lo, kb_hi, kp_lo, kp_hi,
-                            steps, scal, W=W, H=H,
-                            T_cap=T_cap, limbs=limbs)
-        return body(kb_lo, kb_hi, kp_lo, kp_hi, steps,
-                    scal, W=W, H=H, T_cap=T_cap,
-                    limbs=limbs)
+    def run_kernel(cap):
+        st = steps[:cap]
+
+        def k(_):
+            if interpret:
+                with pltpu.force_tpu_interpret_mode():
+                    return body(kb_lo, kb_hi, kp_lo, kp_hi,
+                                st, scal, W=W, H=H,
+                                T_cap=cap, limbs=limbs)
+            return body(kb_lo, kb_hi, kp_lo, kp_hi, st,
+                        scal, W=W, H=H, T_cap=cap,
+                        limbs=limbs)
+
+        return k
 
     def fallback(_):
         return _ranges_by_search(kb, n_b, kp, n_p)
 
-    return jax.lax.cond(T > jnp.int32(T_cap), fallback, kernel, None)
+    # geometric cap ladder: the kernel iterates every padded step, so
+    # pick the smallest instance that covers the observed T
+    caps = []
+    for c in (T_cap, 2 * T_cap, 4 * T_cap):
+        c = min(c, STEP_BUDGET)
+        if c not in caps:
+            caps.append(c)
+
+    def ladder(i):
+        if i == len(caps):
+            return fallback
+        return lambda _: jax.lax.cond(T > jnp.int32(caps[i]),
+                                      ladder(i + 1), run_kernel(caps[i]),
+                                      None)
+
+    return ladder(0)(None)
 
 
 # ---------------------------------------------------------------------------

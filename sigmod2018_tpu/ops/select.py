@@ -52,10 +52,25 @@ def mask_positions(mask: jax.Array, out_size: int):
 
     positions has static length out_size, padded with 0 (a safe gather
     index); count is the number of valid entries.
-    """
+
+    One stable u32 sort ((not mask) as the key, iota as payload) —
+    `jnp.nonzero(size=)` lowers to cumsum + scatter, and scatter is
+    this hardware's slowest primitive (measured 147 ms vs ~7 ms for
+    the sort at 2M rows; the same sorts-beat-scatters rule every join
+    member is built on)."""
     count = jnp.sum(mask, dtype=jnp.int32)
-    pos = jnp.nonzero(mask, size=out_size, fill_value=0)[0].astype(jnp.int32)
-    return pos, count
+    P = mask.shape[0]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    _, pos = jax.lax.sort(
+        (jnp.logical_not(mask).astype(jnp.uint32), iota),
+        num_keys=1, is_stable=True)
+    if out_size <= P:
+        pos = pos[:out_size]
+    else:
+        pos = jnp.concatenate(
+            [pos, jnp.zeros((out_size - P,), jnp.int32)])
+    live = jnp.arange(out_size, dtype=jnp.int32) < count
+    return jnp.where(live, pos, 0), count
 
 
 @jax.jit
