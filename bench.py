@@ -17,6 +17,17 @@ compiles the learned-class programs one at a time (concurrent fresh
 compiles can wedge the remote compile service) — then one pipelined pass
 exercising the threaded serving path before the clock starts.
 
+Self-diagnostics (VERDICT r4 #5): the emitted JSON carries a `diag`
+object — measured tunnel RTT, vault restore/build/fail counters, phase
+times, warm-vs-timed ratio, and the top-5 slowest queries of the serial
+warm pass — so a regression like r04's invisible full-vault rebuild is
+attributable from BENCH_r*.json alone.
+
+Smoke gate (VERDICT r4 #9): on a TPU backend the bench refuses to run
+against code the on-hardware gate (tools/smoke_tpu.py) has not passed —
+interpret-mode CI cannot see the repeated-execution backend failures
+the gate exists for.  S18_SMOKE=0 skips the check (CI / CPU runs).
+
 Baseline: the reference C engine built from /root/reference measured
 892 ms on this container (median of 3 idle runs, 2026-08-17; BASELINE.md);
 `vs_baseline` is our_ms/ref_ms (< 1.0 means faster than the reference on
@@ -24,7 +35,7 @@ the same machine).
 
 Prints ONE JSON line:
   {"metric": "small_workload_wall_ms", "value": N, "unit": "ms",
-   "vs_baseline": N, "mismatches": N}
+   "vs_baseline": N, "mismatches": N, "diag": {...}}
 
 An optional workload directory argument benchmarks another fixture set
 with the same methodology (e.g. `python bench.py workloads/scaled`);
@@ -80,6 +91,48 @@ def _arm_deadline(seconds: float) -> None:
                      name="bench-deadline").start()
 
 
+def _check_smoke_gate() -> str:
+    """'ok' when the on-TPU smoke gate has passed for the CURRENT code
+    tag; exits otherwise (unless S18_SMOKE=0 -> 'skipped').  Only the
+    TPU backend is gated — the gate exists for hardware-only failure
+    modes (repeated-execution crashes interpret mode cannot see)."""
+    import jax
+
+    if os.environ.get("S18_SMOKE") == "0":
+        return "skipped"
+    if jax.default_backend() != "tpu":
+        return "not-tpu"
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    import smoke_tpu
+
+    fp = smoke_tpu.gate_path("tpu")
+    if fp is not None and os.path.exists(fp):
+        return "ok"
+    log(f"SMOKE GATE MISSING for this code tag (expected {fp}).")
+    log("Run `python tools/smoke_tpu.py` first — it exercises every "
+        "member with REPEATED executions on the real backend (the "
+        "round-3/4 crash class CI cannot see), then records the gate. "
+        "S18_SMOKE=0 overrides.")
+    sys.exit(2)
+
+
+def _measure_rtt(samples: int = 5) -> float:
+    """Median device->host fetch RTT in ms (a tiny pre-compiled program
+    fetched repeatedly): the tunnel's health in the record — r04's
+    numbers carried unexplained RTT variance (26 vs 140 ms sessions)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda: jnp.arange(8, dtype=jnp.int32).sum())
+    jax.block_until_ready(f())  # compile outside the timing
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        int(f())
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return sorted(times)[len(times) // 2]
+
+
 def main() -> None:
     from sigmod2018_tpu.config import EngineConfig
     from sigmod2018_tpu.engine.executor import JaxEngine, format_batch
@@ -87,6 +140,7 @@ def main() -> None:
     from sigmod2018_tpu.storage.catalog import Catalog
 
     _arm_deadline(float(os.environ.get("S18_BENCH_DEADLINE", "2700")))
+    diag: dict = {"smoke": _check_smoke_gate()}
 
     wl = Path(sys.argv[1]).resolve() if len(sys.argv) > 1 else SMALL
     name = wl.name
@@ -100,12 +154,16 @@ def main() -> None:
         l for l in (wl / f"{name}.result").read_text().splitlines() if l.strip()
     ]
     nq = sum(len(b) for b in batches)
-    log(f"workload={name} queries={nq} batches={len(batches)}")
+    log(f"workload={name} queries={nq} batches={len(batches)} "
+        f"smoke={diag['smoke']}")
+    diag["rtt_ms"] = round(_measure_rtt(), 2)
+    log(f"tunnel RTT {diag['rtt_ms']} ms")
 
     # ---- untimed prep: load, transfer, compile (contest prep window) ----
     from concurrent.futures import ThreadPoolExecutor
 
     config = EngineConfig.from_env()
+    t0 = time.perf_counter()
     catalog = Catalog.from_files(init)
     log("catalog loaded")
     if config.compile_queries:
@@ -115,6 +173,7 @@ def main() -> None:
     else:
         engine = JaxEngine(catalog, config)
     engine.prefetch()
+    diag["prep_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
     log(f"prefetch done (vault={'on' if config.vault else 'off'})")
     pool = ThreadPoolExecutor(max(config.batch_workers, 1))
 
@@ -128,25 +187,47 @@ def main() -> None:
     # programs compile one at a time (concurrent fresh compiles can wedge
     # the remote compile service); exact size classes are learned here.
     queries = [q for batch in batches for q in batch]
+    t0 = time.perf_counter()
     for i, q in enumerate(queries):
         engine.execute(q)
         if (i + 1) % 10 == 0 or i + 1 == nq:
             log(f"warm pass 1 (serial, learning): {i + 1}/{nq}")
+    diag["warm1_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
     # Serial warm pass 2: queries whose learned classes differ from the
-    # guesses rebuild here — still one compile at a time.
+    # guesses rebuild here — still one compile at a time.  Per-query
+    # wall times here attribute slowness to specific queries (the
+    # pipelined passes interleave, so only the serial pass can).
+    t0 = time.perf_counter()
+    per_q = []
     for i, q in enumerate(queries):
+        tq = time.perf_counter()
         engine.execute(q)
+        per_q.append((round((time.perf_counter() - tq) * 1000.0, 2),
+                      q.text))
         if (i + 1) % 10 == 0 or i + 1 == nq:
             log(f"warm pass 2 (serial, learned classes): {i + 1}/{nq}")
+    diag["warm2_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
+    diag["slowest_queries"] = [
+        {"ms": ms, "q": text}
+        for ms, text in sorted(per_q, reverse=True)[:5]]
     # Pipelined warm pass: the threaded serving path (pure dispatch now —
     # every program is compiled) + output validation.
     t0 = time.perf_counter()
     warm = [line for batch in batches for line in run_batch(batch)]
     warm_ms = (time.perf_counter() - t0) * 1000.0
+    diag["warm3_ms"] = round(warm_ms, 1)
     mismatches = sum(1 for got, want in zip(warm, expected) if got != want)
     mismatches += abs(len(warm) - len(expected))
     log(f"warm pass 3 (pipelined): {warm_ms:.1f} ms, "
         f"mismatches={mismatches}")
+    if hasattr(engine, "quiesce"):
+        engine.quiesce()  # no background prep may bleed into the clock
+    vault = getattr(engine, "_vault", None)
+    if vault is not None:
+        v = vault()
+        diag["vault"] = dict(v.counters, nready=len(v._ready),
+                             enabled=v.enabled)
+        log(f"vault: {diag['vault']}")
     if getattr(engine, "__dict__", {}).get("_device_poisoned"):
         log("WARNING: device poisoned during warm-up — timed pass would "
             "measure the host oracle; failing loud instead")
@@ -154,7 +235,8 @@ def main() -> None:
                           "value": None, "unit": "ms",
                           "vs_baseline": None,
                           "mismatches": mismatches,
-                          "error": "device poisoned during warm-up"}))
+                          "error": "device poisoned during warm-up",
+                          "diag": diag}))
         sys.exit(4)
 
     # ---- timed pass -----------------------------------------------------
@@ -169,6 +251,7 @@ def main() -> None:
     format_batch(results)
     ms = (time.perf_counter() - t0) * 1000.0
     log(f"timed pass: {ms:.1f} ms")
+    diag["timed_over_warm3"] = round(ms / warm_ms, 3) if warm_ms else None
 
     ref_ms = REFERENCE_MS.get(name)
     print(json.dumps({
@@ -179,6 +262,7 @@ def main() -> None:
         # (zipf: 1/12 mismatches, BASELINE.md) — no valid baseline exists.
         "vs_baseline": round(ms / ref_ms, 4) if ref_ms else None,
         "mismatches": mismatches,
+        "diag": diag,
     }))
     if mismatches:
         print(f"BENCH INVALID: {mismatches} mismatches", file=sys.stderr)

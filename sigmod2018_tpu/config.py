@@ -128,6 +128,15 @@ class EngineConfig:
     # both sides with all_to_all (parallel/dist_compiled.py).
     bcast_threshold: int = 4096
 
+    # Skew-split joins (SURVEY §2.3 north-star row): a shuffle join
+    # whose catalog MCV sketch shows a hot key carrying at least
+    # skew_factor x the average per-chip row share takes the split —
+    # hot build rows are all_gather'ed to every chip (duplicate build
+    # rows), hot probe rows join LOCALLY, cold rows hash-shuffle as
+    # usual — so the hot key's probe work spreads over the mesh instead
+    # of hammering its hash owner.  0 disables.
+    skew_factor: int = 2
+
     @staticmethod
     def from_env() -> "EngineConfig":
         def _flag(name: str, default: str) -> str:
@@ -156,6 +165,7 @@ class EngineConfig:
             mesh_devices=int(_flag("S18_MESH", "1")),
             bcast_threshold=int(_flag("S18_BCAST", "4096")),
             exchange=_flag("S18_EXCHANGE", "a2a"),
+            skew_factor=int(_flag("S18_SKEW", "2")),
         )
 
 

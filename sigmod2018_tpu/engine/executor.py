@@ -492,7 +492,22 @@ class JaxEngine:
                 res = self._execute_async_device(query)
         except (IntermediateBlowup, RecursionError):
             raise
-        except Exception:  # noqa: BLE001 — dispatch-time device failure
+        except Exception as exc:  # noqa: BLE001 — dispatch-time failure
+            # Log BEFORE falling back (once per query text): a plain
+            # code bug on a healthy device would otherwise serve
+            # correct-but-~1000x-slower oracle answers with zero
+            # diagnostic output, making device-path regressions
+            # invisible (ADVICE r4).
+            logged = self.__dict__.setdefault("_fallback_logged", set())
+            if query.text not in logged:
+                logged.add(query.text)
+                import sys
+                import traceback
+
+                print(f"device dispatch failed ({exc!r}) for "
+                      f"{query.text!r}; serving from the host oracle",
+                      file=sys.stderr)
+                traceback.print_exc(limit=8, file=sys.stderr)
             return self._last_resort_or_raise(query)
         if isinstance(res, PendingResult) and res.fetch_retry is None:
             res.fetch_retry = lambda: self._last_resort_or_raise(query)

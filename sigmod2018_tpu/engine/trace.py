@@ -85,7 +85,15 @@ class Tracer:
         shapes = ",".join(
             str(tuple(a.shape)) for a in args if isinstance(a, jax.Array)
         )
-        self.records.append((name, shapes, ms, _nbytes(args) + _nbytes(result)))
+        # Join-family ops carry their speed-of-light floor (VERDICT r4
+        # #6): max(min HBM bytes at roofline, min pair-compares at the
+        # measured VPU ceiling) — achieved-vs-floor makes the
+        # "compute-bound by design" claim falsifiable per call.
+        from ..utils.floors import floors_for_op
+
+        fl = floors_for_op(name, args)
+        self.records.append((name, shapes, ms,
+                             _nbytes(args) + _nbytes(result), fl))
 
     def report(self, label: str = "") -> None:
         if self.mode == "json":
@@ -97,18 +105,27 @@ class Tracer:
                      "device_ms": round(ms, 4), "bytes": nbytes,
                      "hbm_frac": round(
                          nbytes / HBM_BYTES_PER_SEC * 1e3 / ms, 4)
-                     if ms > 0 else None}
-                    for name, shapes, ms, nbytes in self.records
+                     if ms > 0 else None,
+                     **({"floor_ms": round(fl["floor_ms"], 4),
+                         "tile_cmp_floor_ms":
+                             round(fl["tile_cmp_floor_ms"], 4),
+                         "floor_frac": round(fl["floor_ms"] / ms, 4)
+                         if ms > 0 else None} if fl else {})}
+                    for name, shapes, ms, nbytes, fl in self.records
                 ],
             }), file=self.out)
             return
-        total = sum(ms for _, _, ms, _ in self.records)
+        total = sum(ms for _, _, ms, _, _ in self.records)
         print(f"-- trace {label}: {total:.2f} ms device total "
               f"(amortized x{TRACE_ITERS}, rtt {self.rtt()*1e3:.1f} ms)",
               file=self.out)
-        for name, shapes, ms, nbytes in self.records:
+        for name, shapes, ms, nbytes, fl in self.records:
             sol = nbytes / HBM_BYTES_PER_SEC * 1e3  # ms at HBM roofline
             frac = f" sol={sol/ms*100:5.1f}%" if ms > 0 and sol > 0 else ""
+            if fl and ms > 0:
+                frac += (f" floor={fl['floor_ms']:.2f}ms"
+                         f" ({fl['floor_ms'] / ms * 100:.0f}% of SOL,"
+                         f" tile-floor {fl['tile_cmp_floor_ms']:.2f}ms)")
             print(f"--   {name:22s} {ms:8.3f} ms  [{shapes}]{frac}",
                   file=self.out)
 

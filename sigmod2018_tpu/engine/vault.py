@@ -117,6 +117,13 @@ class ProgramVault:
         self._failed: set = set()                # keys export can't serve
         self._env = None
         self._pool: Optional[ThreadPoolExecutor] = None
+        # Observability (bench self-diagnostics, VERDICT r4 #5): how many
+        # programs were restored from disk vs freshly built vs failed —
+        # a bench regression must be attributable from BENCH_r*.json
+        # alone (r04's 8x regression was an invisible full rebuild).
+        self.counters: Dict[str, int] = {
+            "restored": 0, "built": 0, "load_failed": 0,
+            "build_failed": 0, "disabled": 0, "foreign": 0}
 
     @property
     def enabled(self) -> bool:
@@ -226,11 +233,13 @@ class ProgramVault:
                 jax.block_until_ready(prog(*dyn))
             with self._lock:
                 self._ready[key] = prog
+                self.counters["built"] += 1
             self._write(key, blob)
             return prog
         except Exception:  # noqa: BLE001 — unexportable program: jit path
             with self._lock:
                 self._failed.add(key)
+                self.counters["build_failed"] += 1
             self._mark_bad(key)
             return None
         finally:
@@ -244,6 +253,7 @@ class ProgramVault:
         with self._lock:
             self._failed.add(key)
             self._ready.pop(key, None)
+            self.counters["disabled"] += 1
         try:
             os.unlink(self._path(key))
         except OSError:
@@ -366,6 +376,8 @@ class ProgramVault:
             # and the except branch would wipe the other platform's
             # warm vault on every backend switch.
             if jax.default_backend() not in exp.platforms:
+                with self._lock:
+                    self.counters["foreign"] += 1
                 return
             # Prime the pjit C++ fastpath with a zeros-run: the first
             # call pays trace-of-wrapper + compile (persistent-cache
@@ -383,7 +395,10 @@ class ProgramVault:
             jax.block_until_ready(prog(*args, **kwargs))
             with self._lock:
                 self._ready[key] = prog
+                self.counters["restored"] += 1
         except Exception:  # noqa: BLE001 — corrupt/stale: drop the file
+            with self._lock:
+                self.counters["load_failed"] += 1
             try:
                 os.unlink(path)
             except OSError:

@@ -519,7 +519,20 @@ def stair_plan_rolled(Pb: int, Pp: int, W: int = 1024, H: int = 1024,
     Bb = Pb // H
     while Pp // W >= (1 << 31) // _PACK_R or int(
             (Bb + Pp // W) * (1.0 + slack)) + 8 > STEP_BUDGET:
+        if W >= Pp or Pp % (2 * W):
+            # W can no longer grow: one-chunk probe, or the next
+            # doubling would break the Pp % W == 0 reshape invariant
+            # (probe sizes like 3*2^22).  A Bb past the step budget
+            # alone is legal — T_cap clamps to STEP_BUDGET below and
+            # the runtime cap ladder's searchsorted fallback serves
+            # any staircase longer than that.  (This condition is
+            # W-independent once Bb*(1+slack)+8 > STEP_BUDGET, so
+            # without the break the loop never exited — ADVICE r4.)
+            break
         W *= 2
+    if Pp // W >= (1 << 31) // _PACK_R:
+        raise ValueError(
+            f"rolled staircase cannot pack probe chunks: Pb={Pb} Pp={Pp}")
     T_cap = min(int((Bb + Pp // W) * (1.0 + slack)) + 8, STEP_BUDGET)
     return W, H, T_cap
 

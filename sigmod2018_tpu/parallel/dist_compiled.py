@@ -27,6 +27,16 @@ Design (the TPU-native distributed query execution):
     * broadcast: the build side's padded global size is under
       `bcast_threshold` — all_gather the small side (keys + payload),
       the big probe side moves nothing;
+    * skew-split (SURVEY §2.3 north-star row): the catalog's MCV sketch
+      (exact per-column mode + max multiplicity) shows a hot key whose
+      rows, hash-routed to one chip, would exceed `skew_factor` x the
+      average per-chip share — hot build rows are all_gather'ed to
+      every chip (duplicate build rows, statically capped by the exact
+      fmax stat), hot probe rows JOIN LOCALLY against the gathered
+      table, and cold rows take the normal shuffle; the hot key's probe
+      work spreads over the mesh instead of hammering its hash owner
+      (mechanism proven standalone in dist.py's
+      make_dist_join_checksum_skew; here it serves every query);
     * shuffle: both sides partition by `key mod ndev` and all_to_all;
       the send capacity per (src, dst) pair is the sender's local padded
       length — statically safe, a chip cannot send more than it owns.
@@ -212,10 +222,16 @@ class DistCompiledEngine(CompiledEngine):
 
                 def record_x(lmax: Tuple[int, ...],
                              xmax: Tuple[int, ...]) -> None:
+                    # An observed xmax of 0 (broadcast/non-shuffle slot)
+                    # must persist as the 'full caps' sentinel 0, not a
+                    # tiny min_pad cap: if learned classes later flip
+                    # that join to shuffle, a bogus cap would truncate
+                    # the exchange and cost a detected retry (ADVICE r4).
                     self._learn_dist(
                         query.text,
                         tuple(size_class(max(m, 1), min_pad) for m in lmax),
-                        tuple(size_class(max(x, 1), min_pad) for x in xmax))
+                        tuple(size_class(x, min_pad) if x else 0
+                              for x in xmax))
 
                 return DistSpecResult(
                     out, len(query.views), classes,
@@ -299,13 +315,22 @@ class DistCompiledEngine(CompiledEngine):
             the mesh except the diagonal (1 key + payload u64 columns).
             Broadcast: the build side (keys + liveness + payloads) is
             all_gathered to every other chip; the probe side moves
-            nothing.  Same volume on the ring transport — it changes
-            the link pattern, not the bytes."""
+            nothing.  Skew: the cold shuffle plus an all_gather of the
+            [hot_cap] hot build rows (keys + liveness + payloads); hot
+            probe rows move NOTHING — that is the point of the split.
+            Same volume on the ring transport — it changes the link
+            pattern, not the bytes."""
+            per_side = lambda cap, npay: (ndev * (ndev - 1) * cap
+                                          * 8 * (1 + npay))
             if strategy == "shuffle":
-                per_side = lambda cap, npay: (ndev * (ndev - 1) * cap
-                                              * 8 * (1 + npay))
                 bytes_ici = (per_side(kw["cap_b"], kw["npay_b"])
                              + per_side(kw["cap_p"], kw["npay_p"]))
+            elif strategy == "skew":
+                hc = kw["hot_cap"]
+                bytes_ici = (per_side(kw["cap_b"], kw["npay_b"])
+                             + per_side(kw["cap_p"], kw["npay_p"])
+                             + ndev * (ndev - 1)
+                             * (hc * 8 * (1 + kw["npay_b"]) + hc))
             else:
                 L = kw["L_b"]
                 bytes_ici = (ndev * (ndev - 1)
@@ -318,6 +343,60 @@ class DistCompiledEngine(CompiledEngine):
 
                 print(f"--   comm join{idx}: {strategy} "
                       f"bytes_ici={bytes_ici} {kw}", file=sys.stderr)
+
+        skew_factor = self.config.skew_factor
+        min_pad = self.config.min_pad
+        catalog_stats = getattr(self.catalog, "stats", None)
+
+        def skew_static(bb, bc, pbb, pbc, base_b, base_p, L_b, L_p):
+            """Trace-time skew decision for one shuffle join:
+            (hot key VALUES, per-chip all_gather cap, gather_build) or
+            None.  Hot keys come from the catalog's exact per-column MCV
+            sketch (mode + fmax): a key is hot when hash-routing all of
+            its rows to one chip would hand that chip >= skew_factor x
+            the column's average per-chip share (fmax * ndev >=
+            skew_factor * f).
+
+            One side's hot rows are all_gather'ed (duplicate rows — the
+            classic skew split); the OTHER side's hot rows join locally,
+            spreading the hot key's work over the mesh.  The gathered
+            side must be an unfiltered base column so its fmax (the
+            exact max multiplicity of ANY key there) statically bounds
+            the gathered rows — no overflow/retry path is ever needed.
+            Preference: gather the build side (smaller padded length);
+            a component build side flips the gather to the probe side
+            (the hot pairs meet on the chip owning the component row)."""
+            if not skew_factor or not catalog_stats:
+                return None
+            if not (base_b or base_p):
+                return None
+
+            def side_hot(binding, col, is_base):
+                if not is_base:
+                    return None
+                try:
+                    st = catalog_stats[query.relations[binding]][col]
+                    fmax, mode = int(st.fmax), int(st.mode)
+                    f = max(int(st.f), 1)
+                except (IndexError, TypeError, AttributeError):
+                    return None
+                if fmax > 1 and fmax * ndev >= skew_factor * f:
+                    return mode
+                return None
+
+            hot = []
+            for b_, c_, isb in ((bb, bc, base_b), (pbb, pbc, base_p)):
+                hv = side_hot(b_, c_, isb)
+                if hv is not None and hv != int(_PAD_KEY) and hv not in hot:
+                    hot.append(hv)
+            if not hot:
+                return None
+            gather_build = base_b
+            gb, gc, L_g = (bb, bc, L_b) if gather_build else (pbb, pbc, L_p)
+            st_g = catalog_stats[query.relations[gb]][gc]
+            hot_cap = min(L_g, size_class(len(hot) * max(int(st_g.fmax), 1),
+                                          min_pad))
+            return tuple(hot), hot_cap, gather_build
 
         colpos = {rc: i for i, rc in enumerate(cols_used)}
 
@@ -476,8 +555,18 @@ class DistCompiledEngine(CompiledEngine):
                 pay_b, pay_p = (pay_l, pay_r) if build_left else (pay_r, pay_l)
                 bset = set(bind_l) if build_left else set(bind_r)
 
-                # --- strategy: broadcast the small build side, else
+                # --- strategy: broadcast the small build side; else
+                # skew-split when the MCV sketch flags a hot key; else
                 # hash-shuffle both sides over the mesh -----------------
+                bb_, bc_ = ((jp.binding1, jp.column1) if build_left
+                            else (jp.binding2, jp.column2))
+                pbb_, pbc_ = ((jp.binding2, jp.column2) if build_left
+                              else (jp.binding1, jp.column1))
+                comp_b = comp_l if build_left else comp_r
+                comp_p = comp_r if build_left else comp_l
+                skew_info = skew_static(bb_, bc_, pbb_, pbc_,
+                                        comp_b is None, comp_p is None,
+                                        kb.shape[0], kp.shape[0])
                 if kb.shape[0] * ndev <= bcast:
                     strategies.append("broadcast")
                     note_comm(idx, "broadcast", L_b=kb.shape[0],
@@ -498,6 +587,98 @@ class DistCompiledEngine(CompiledEngine):
                     rkp = jnp.where(livep, kp, _PAD_KEY)
                     rpp = pp
                     npr = jnp.sum(livep.astype(jnp.int32))
+                elif skew_info is not None:
+                    strategies.append("skew")
+                    hot_vals, hot_cap, gather_build = skew_info
+                    cap_b, cap_p = ((xcaps[2 * idx], xcaps[2 * idx + 1])
+                                    if xcaps else (0, 0))
+                    cap_b = min(cap_b, kb.shape[0]) or kb.shape[0]
+                    cap_p = min(cap_p, kp.shape[0]) or kp.shape[0]
+                    note_comm(idx, "skew", cap_b=cap_b, cap_p=cap_p,
+                              hot_cap=hot_cap, hot_keys=len(hot_vals),
+                              gather="build" if gather_build else "probe",
+                              npay_b=len(pb), npay_p=len(pp))
+
+                    def is_hot(k):
+                        m = k == jnp.uint64(hot_vals[0])
+                        for hv in hot_vals[1:]:
+                            m = m | (k == jnp.uint64(hv))
+                        return m
+
+                    hot_b = is_hot(kb) & liveb
+                    hot_p = is_hot(kp) & livep
+                    cold_b = liveb & ~hot_b
+                    cold_p = livep & ~hot_p
+                    # Hot rows of the gathered side -> every chip
+                    # (duplicate rows).  hot_cap is statically
+                    # sufficient: per-chip hot rows <= len(hot_vals) *
+                    # fmax of the gathered base column (the exact MCV
+                    # bound), so nothing can truncate.
+                    kg, pg, hot_g = ((kb, pb, hot_b) if gather_build
+                                     else (kp, pp, hot_p))
+                    sel_ord = jnp.argsort(~hot_g, stable=True).astype(
+                        jnp.int32)[:hot_cap]
+                    sel = hot_g[sel_ord]
+                    hk = jnp.where(sel, kg[sel_ord], _PAD_KEY)
+                    hpay = tuple(
+                        jnp.where(sel, p[sel_ord], jnp.zeros((), p.dtype))
+                        for p in pg)
+                    gk = jax.lax.all_gather(hk, AXIS).reshape(-1)
+                    glive = jax.lax.all_gather(sel, AXIS).reshape(-1)
+                    gpay = tuple(jax.lax.all_gather(v, AXIS).reshape(-1)
+                                 for v in hpay)
+                    # Cold rows: the normal hash shuffle (learned caps
+                    # and send-maxima validation apply to them alone).
+                    xmaxes[2 * idx] = jax.lax.pmax(
+                        send_hist_max(kb, cold_b, ndev), AXIS
+                    ).astype(jnp.uint64)
+                    xmaxes[2 * idx + 1] = jax.lax.pmax(
+                        send_hist_max(kp, cold_p, ndev), AXIS
+                    ).astype(jnp.uint64)
+                    sk_b, sp_b, cnt_b = partition_multi(kb, pb, cold_b,
+                                                        ndev, cap_b)
+                    sk_p, sp_p, cnt_p = partition_multi(kp, pp, cold_p,
+                                                        ndev, cap_p)
+                    via = self.config.exchange
+                    ck_b, cp_b, nb_c = exchange_multi(sk_b, sp_b, cnt_b,
+                                                      via=via)
+                    ck_p, cp_p, np_c = exchange_multi(sk_p, sp_p, cnt_p,
+                                                      via=via)
+
+                    # One local table per side: exchanged cold rows +
+                    # gathered hot build rows / IN-PLACE hot probe rows
+                    # (hot probe work spreads over the mesh — the point
+                    # of the split).  Disjoint by construction: a key is
+                    # hot on both sides or neither, so cold x hot pairs
+                    # cannot match; one local join serves both streams.
+                    # Live rows compact to a prefix (downstream
+                    # contract) with one stable sort per side.
+                    def cat_compact(k1, pays1, live1, k2, pays2, live2):
+                        k = jnp.concatenate([k1, k2])
+                        live = jnp.concatenate([live1, live2])
+                        order = jnp.argsort(~live, stable=True).astype(
+                            jnp.int32)
+                        pays = tuple(
+                            jnp.concatenate([a, b])[order]
+                            for a, b in zip(pays1, pays2))
+                        return (jnp.where(live[order], k[order], _PAD_KEY),
+                                pays,
+                                jnp.sum(live.astype(jnp.int32)))
+
+                    live_cb = (jnp.arange(ck_b.shape[0], dtype=jnp.int32)
+                               < nb_c)
+                    live_cp = (jnp.arange(ck_p.shape[0], dtype=jnp.int32)
+                               < np_c)
+                    if gather_build:
+                        rkb, rpb, nb = cat_compact(ck_b, cp_b, live_cb,
+                                                   gk, gpay, glive)
+                        rkp, rpp, npr = cat_compact(ck_p, cp_p, live_cp,
+                                                    kp, pp, hot_p)
+                    else:
+                        rkb, rpb, nb = cat_compact(ck_b, cp_b, live_cb,
+                                                   kb, pb, hot_b)
+                        rkp, rpp, npr = cat_compact(ck_p, cp_p, live_cp,
+                                                    gk, gpay, glive)
                 else:
                     strategies.append("shuffle")
                     # Send capacity per (src, dst) pair: the learned cap

@@ -35,10 +35,10 @@ from .dist import AXIS, make_mesh
 
 
 class DistJaxEngine(JaxEngine):
-    # the shuffle join's packed contract is view-slot aligned
-    _fused_slot_padded = True
     """JaxEngine with row-sharded base columns over a 1-D mesh."""
 
+    # the shuffle join's packed contract is view-slot aligned
+    _fused_slot_padded = True
     prep_join_artifacts = False  # shuffle re-partitions the build side
 
     def __init__(self, catalog: Catalog, config: EngineConfig,

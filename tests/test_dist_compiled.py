@@ -204,9 +204,15 @@ def test_learned_exchange_caps_shrink_buffers(mesh):
     assert eng.execute(q) == expect          # run 1: full caps, learns
     learned, xcaps = eng._learned_dist(q, 1, 4)
     assert learned is not None
-    assert xcaps and all(c > 0 for c in xcaps)
-    # every cap is far below the full per-chip length (4096/8 = 512
-    # local rows; domain-40 keys over 8 destinations ≈ 64-128/dst)
+    # Slots that observed sends learn tight caps; a slot that observed
+    # ZERO sends keeps the 'full length' sentinel 0 (ADVICE r4 — a tiny
+    # learned cap would truncate the exchange if a strategy flip later
+    # routes real rows through it).  Here the planner's first join
+    # (1.1=2.1, 2^30-domain value columns) is empty, so the final
+    # join's build side — the empty intermediate — records 0.
+    assert xcaps and sum(1 for c in xcaps if c > 0) >= 3, xcaps
+    # every learned cap is far below the full per-chip length (4096/8 =
+    # 512 local rows; domain-40 keys over 8 destinations ≈ 64-128/dst)
     L = 4096 // N_DEV
     assert all(c < L for c in xcaps), xcaps
     assert eng.execute(q) == expect          # run 2: capped buffers
@@ -282,3 +288,107 @@ def test_comm_model_pins_bytes(mesh):
         assert e["bytes_ici"] == (N_DEV * (N_DEV - 1)
                                   * (e["L_b"] * 8 * (1 + e["npay_b"])
                                      + e["L_b"]))
+
+
+# ---------------------------------------------------------------------------
+# Skew-split joins (SURVEY §2.3 north-star row; VERDICT r4 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_catalog(n=4096, hot_frac=0.5, hot_key=7):
+    """Relations whose key column 0 carries ONE heavy hitter holding
+    `hot_frac` of all rows (the Zipf head): a plain hash shuffle would
+    route every one of those rows to chip hot_key % ndev.  Column 1 is
+    a uniform medium-domain join column (chain queries), column 2 a
+    wide-domain value column."""
+    rng = np.random.default_rng(99)
+
+    def keycol(n):
+        k = rng.integers(100, 5000, n).astype(np.uint64)
+        k[rng.choice(n, int(n * hot_frac), replace=False)] = hot_key
+        return k
+
+    rels = [Relation(columns=[keycol(n),
+                              rng.integers(0, 500, n).astype(np.uint64),
+                              rng.integers(0, 1 << 30, n).astype(np.uint64)])
+            for _ in range(3)]
+    return Catalog(rels)
+
+
+def test_skew_split_chosen_and_exact_fused(mesh):
+    """A Zipf-keyed single-join query picks the skew strategy (hot build
+    rows all_gather'ed, hot probe rows local) and matches the oracle."""
+    cat = _zipf_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1|0.0=1.0|0.1 1.1")
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    assert eng.join_strategies == ["skew"], eng.join_strategies
+    # the comm model carries the split's static shapes
+    entry = eng.comm_model[0]
+    assert entry["strategy"] == "skew" and entry["hot_cap"] > 0
+
+
+def test_skew_split_intermediate_join_exact(mesh):
+    """The split also serves INTERMEDIATE joins: cold rows shuffle, hot
+    rows ride the gathered table, and the concatenated local result
+    feeds the next join bit-exactly.  (n scaled down: the hot key's
+    true intermediate is hot_count^2 rows.)"""
+    cat = _zipf_catalog(n=1024, hot_frac=0.25)
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1 2|0.0=1.0&1.1=2.1|0.2 2.2")
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    assert "skew" in eng.join_strategies, eng.join_strategies
+
+
+def test_skew_split_with_filter_exact(mesh):
+    """Filters run before the split; hot classification applies to the
+    surviving rows only."""
+    cat = _zipf_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1|0.0=1.0&1.1>100000|0.2 1.2")
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    assert "skew" in eng.join_strategies
+
+
+def test_skew_split_hlo_collective_pattern(mesh):
+    """HLO assert (VERDICT r4 done-criterion): the skew program carries
+    BOTH an all-gather (hot build rows, [hot_cap] operand) and the cold
+    all-to-all — and no skew program exists when S18_SKEW=0."""
+    import re
+
+    from sigmod2018_tpu.engine.compiled import _skeletonize
+
+    cat = _zipf_catalog()
+    eng = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1|0.0=1.0|0.1 1.1")
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    joins, cols_used, n_classes, _ = eng._static_plan(q, True)
+    skel, consts = _skeletonize(q)
+    cols = tuple(eng.device_column(r, c)[0] for r, c in cols_used)
+    ns = tuple(eng.device_column(r, c)[1] for r, c in cols_used)
+    fn = eng._spmd_program(skel, joins, (), cols_used, ns, ())
+    hlo = fn.lower(jnp.asarray(consts), *cols).compile().as_text()
+    assert "all-to-all" in hlo  # the cold shuffle
+    hot_cap = eng.comm_model[0]["hot_cap"]
+    ag = [ln for ln in hlo.splitlines() if "all-gather" in ln]
+    assert any(re.search(rf"u64\[{N_DEV},{hot_cap}\]", ln) for ln in ag), (
+        hot_cap, ag[:4])
+    # disabled -> plain shuffle, no all_gather of hot rows
+    eng2 = DistCompiledEngine(cat, EngineConfig(bcast_threshold=0,
+                                                skew_factor=0), mesh=mesh)
+    assert eng2.execute(q) == execute_query_numpy(q, cat)
+    assert eng2.join_strategies == ["shuffle"]
+
+
+def test_skew_split_uniform_keys_not_chosen(mesh, catalog):
+    """Uniform keys must keep the plain shuffle — the MCV sketch shows
+    no key past the skew_factor x average-share bar."""
+    eng = DistCompiledEngine(catalog, EngineConfig(bcast_threshold=0),
+                             mesh=mesh)
+    q = parse_query("0 1|0.0=1.0|0.1 1.2")
+    assert eng.execute(q) == execute_query_numpy(q, catalog)
+    assert "skew" not in eng.join_strategies

@@ -267,3 +267,27 @@ def test_counts_auto_pads_short_probe(monkeypatch):
                               1024, 1024, True)
     ecnt, elo = _oracle(kb[:nb], nb, kp, npp)
     np.testing.assert_array_equal(np.asarray(cnt)[:npp], ecnt[:npp])
+
+
+def test_stair_plan_rolled_terminates_on_huge_build():
+    """ADVICE r4: Bb alone past the step budget made the W-doubling loop
+    condition W-independent -> infinite loop at trace time (observed
+    hanging at Pb=2^26, Pp=2^24).  It must terminate with valid
+    invariants; a T past STEP_BUDGET falls back at runtime."""
+    Pb, Pp = 1 << 26, 1 << 24
+    W, H, T = ms.stair_plan_rolled(Pb, Pp)
+    assert Pp % W == 0 and Pb % H == 0 and W % H == 0
+    assert T <= ms.STEP_BUDGET
+    assert Pp // W < (1 << 31) // ms._PACK_R
+
+
+def test_stair_plan_rolled_keeps_divisibility():
+    """ADVICE r4: W doubling must preserve Pp % W == 0 for probe sizes
+    that are multiples of 1024 but not powers of two (3*2^22) — a
+    broken invariant failed the kernel's reshape at trace time."""
+    for Pp in (3 * (1 << 22), 3 * (1 << 10), 5 * (1 << 20)):
+        for Pb in (1 << 24, 1 << 26):
+            W, H, T = ms.stair_plan_rolled(Pb, Pp)
+            assert Pp % W == 0, (Pb, Pp, W)
+            assert W % H == 0 and Pb % H == 0
+            assert Pp // W < (1 << 31) // ms._PACK_R

@@ -308,3 +308,43 @@ def test_skew_join_hot_cap_overflow_reported(mesh):
         jnp.uint64(0),
     )
     assert int(overflow) > 0
+
+
+def test_scaling_model_parts_pinned(mesh):
+    """Scaling-table v2 model (VERDICT r4 #7): the comp-only half of
+    make_dist_join_parts runs the SAME per-chip work as the full
+    program minus the exchange.  Pinned two ways: (a) at n=1 there is
+    nothing to exchange, so comp-only's aggregates equal the full
+    program's exactly; (b) at n=8 both halves execute deterministically
+    (two runs bit-identical) — the model's timing decomposition rests
+    on these programs actually running the claimed work."""
+    from sigmod2018_tpu.parallel.dist import make_dist_join_parts
+
+    rng = np.random.default_rng(17)
+    rows = 1 << 12
+    r_key = rng.integers(0, 1 << 10, rows, dtype=np.uint64)
+    r_val = rng.integers(0, 1 << 30, rows, dtype=np.uint64)
+    s_key = rng.integers(0, 1 << 10, rows, dtype=np.uint64)
+    s_val = rng.integers(0, 1 << 30, rows, dtype=np.uint64)
+    const = jnp.uint64(1 << 29)
+
+    m1 = make_mesh(1)
+    sh1 = row_sharding(m1)
+    args1 = [jax.device_put(jnp.asarray(a), sh1)
+             for a in (r_key, r_val, s_key, s_val)]
+    full1 = make_dist_join_checksum(m1, cap=rows)
+    comp1, _ = make_dist_join_parts(m1, cap=rows)
+    want = full1(*args1, const)
+    got = comp1(*args1, const)
+    assert [int(x) for x in got] == [int(x) for x in want[:3]]
+
+    sh = row_sharding(mesh)
+    args = [jax.device_put(jnp.asarray(a), sh)
+            for a in (r_key, r_val, s_key, s_val)]
+    comp8, comm8 = make_dist_join_parts(mesh, cap=rows // N_DEV)
+    a = [int(x) for x in comp8(*args, const)]
+    b = [int(x) for x in comp8(*args, const)]
+    assert a == b
+    c1 = int(comm8(args[0], args[2]))
+    c2 = int(comm8(args[0], args[2]))
+    assert c1 == c2

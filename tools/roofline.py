@@ -127,18 +127,31 @@ def main() -> None:
               f"roofline)   {pairs / t_probe / 1e12:6.2f} T pair-compares/s")
 
     # ---- end-to-end ---------------------------------------------------
+    # Floor model (VERDICT r4 #6): the unconstrained per-call floor is
+    # max(min HBM bytes at roofline, Pb+Pp merge compares at the VPU
+    # ceiling); the tile-constrained compare floor adds the hardware
+    # reality that a VPU banded merge cannot narrow a probe row's
+    # window below one native tile (utils/floors.py).
+    from sigmod2018_tpu.utils.floors import fused_join_floors
+
+    fl64 = fused_join_floors(n, n, 1, 1, key32=False)
+    fl32 = fused_join_floors(n, n, 1, 1, key32=True)
+    print(f"# floors (u64): mem {fl64['mem_floor_ms']:.2f} ms, "
+          f"merge-cmp {fl64['cmp_floor_ms']:.3f} ms -> "
+          f"floor {fl64['floor_ms']:.2f} ms; tile-constrained cmp floor "
+          f"{fl64['tile_cmp_floor_ms']:.2f} ms")
+
     def full():
         return rj.radix_fused_static(bk, bv, n, pk, pv, n, bits=bits,
                                      SPb=SPb, SPp=SPp, limbs=1)
 
     t_full = devtime(full, iters=3)
-    # speed-of-light: every input byte touched once + outputs ~ 0
-    sol_bytes = 2 * 16 * n
-    sol = sol_bytes / HBM_GBPS / 1e9
+    sol = fl64["floor_ms"] / 1e3
     print(f"fused join e2e:  {t_full * 1e3:8.2f} ms   "
           f"{2 * n / t_full / 1e6:6.1f} Mrows/s   "
-          f"(single-pass speed-of-light {sol * 1e3:.2f} ms -> "
-          f"{sol / t_full * 100:.1f}% of SOL)")
+          f"(floor {fl64['floor_ms']:.2f} ms -> "
+          f"{sol / t_full * 100:.1f}% of SOL; tile-floor "
+          f"{fl64['tile_cmp_floor_ms'] / 1e3 / t_full * 100:.1f}%)")
 
     # ---- the other fused members at the same rows ----------------------
     # Key-table member (engine device_key_table): needs a bounded key
@@ -209,10 +222,12 @@ def main() -> None:
 
         t_ms = devtime(ms_member, iters=3)
         Wp, Hp, Tp = msj.stair_plan(n, n)
+        flx = fl32 if key32 else fl64
         print(f"ms member ({tag})  e2e: {t_ms * 1e3:8.2f} ms   "
               f"{2 * n / t_ms / 1e6:6.1f} Mrows/s   "
-              f"({sol / t_ms * 100:.1f}% of SOL)  "
-              f"[W={Wp} H={Hp} T_cap={Tp}]")
+              f"({flx['floor_ms'] / 1e3 / t_ms * 100:.1f}% of SOL, "
+              f"tile-floor {flx['tile_cmp_floor_ms'] / 1e3 / t_ms * 100:.0f}%)"
+              f"  [W={Wp} H={Hp} T_cap={Tp}]")
 
     # ms stage breakdown (key32): sort, staircase construct, kernel,
     # unsort — the e2e is 2 sorts + 2 kernels + 2 unsorts + weighted sums

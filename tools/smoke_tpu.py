@@ -269,6 +269,36 @@ def main() -> None:
         log(f"SMOKE FAILED: {failures}")
         sys.exit(1)
     log("SMOKE PASSED")
+    record_pass(backend)
+
+
+def gate_path(backend: str):
+    """The pass-record file for the CURRENT code tag: bench.py refuses
+    to time unsmoked code (VERDICT r4 #9 — interpret-mode CI cannot see
+    the repeated-execution backend failures this gate exists for)."""
+    from sigmod2018_tpu.engine.vault import _code_tag
+    from sigmod2018_tpu.storage.catalog import prep_cache_dir
+
+    base = prep_cache_dir()
+    if base is None:
+        return None
+    return os.path.join(base, f"smoke-{backend}-{_code_tag()}.json")
+
+
+def record_pass(backend: str) -> None:
+    import json
+
+    fp = gate_path(backend)
+    if fp is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        with open(fp, "w") as fh:
+            json.dump({"passed": True, "backend": backend,
+                       "elapsed_s": round(time.monotonic() - _T0, 1)}, fh)
+        log(f"gate recorded: {fp}")
+    except OSError as exc:
+        log(f"gate record failed: {exc!r}")
 
 
 if __name__ == "__main__":
