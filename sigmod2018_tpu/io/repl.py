@@ -37,7 +37,13 @@ def _init_backend_async() -> threading.Thread:
             import jax.numpy as jnp
 
             jax.devices()
-            jnp.zeros((8,), jnp.uint32).block_until_ready()
+            # A real VALUE fetch, not block_until_ready: the tunnel's
+            # device->host transfer channel initializes lazily on the
+            # first value read and costs ~4 s (measured; priming runs
+            # that only block_until_ready never pay it) — the first
+            # query's fetch would otherwise foot that bill in the
+            # timed phase.
+            int(jnp.zeros((8,), jnp.uint32).sum())
         except Exception:  # noqa: BLE001 — serving will re-raise later
             pass
 
@@ -100,12 +106,50 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         # the contest harness starts its stopwatch 1 s after `Done`
         # (harness.cpp:206-208), long before a cold prefetch finishes.
         # S18_ASYNC_PREP=0 restores blocking prep (debugging).
+        device_ready = threading.Event()
         if os.environ.get("S18_ASYNC_PREP", "1") != "0":
-            threading.Thread(target=engine.prefetch, daemon=True,
+            def prep():
+                try:
+                    engine.prefetch()
+                    if hasattr(engine, "quiesce"):
+                        engine.quiesce()
+                finally:
+                    device_ready.set()
+
+            threading.Thread(target=prep, daemon=True,
                              name="s18prefetch").start()
         else:
             engine.prefetch()
+            device_ready.set()
         run_async = engine.execute_async
+        # Tiered warm-up serving: until the device engine is warm
+        # (prefetch + vault restores done), queries over SMALL inputs
+        # are answered by the exact host oracle — zero device
+        # dependency, so a cold tunneled backend (measured: ~5 s
+        # handshake + ~1.6 s transfer-channel init per process, both
+        # outside the engine) never blocks the first batches.  The
+        # oracle is the same differential-test twin that backs the
+        # poisoned-device tier; answers are exact either way.  Row
+        # bound S18_WARMUP_ORACLE (total referenced base rows;
+        # 0 disables) keeps at-scale queries on the device path,
+        # where init is amortized anyway.
+        warmup_max = int(os.environ.get("S18_WARMUP_ORACLE",
+                                        str(1 << 19)))
+
+        def warmup_oracle(q: Query):
+            if warmup_max <= 0 or device_ready.is_set():
+                return None
+            try:
+                rows = sum(catalog.relation(r).num_tuples
+                           for r in q.relations)
+                if rows > warmup_max:
+                    return None
+                from ..engine.oracle import execute_query_numpy
+
+                return execute_query_numpy(q, catalog)
+            except Exception:  # noqa: BLE001 — device path serves it
+                return None
+
         # Threads overlap per-query host syncs; device execution stays
         # serialized (and deterministic) inside XLA.
         pool = (ThreadPoolExecutor(config.batch_workers)
@@ -119,6 +163,10 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         # (the reference exits the process on internal errors, query.c:424;
         # we degrade to a NULL line and keep serving).
         try:
+            if pool is not None:  # jax path: warm-up tier applies
+                line = warmup_oracle(q)
+                if line is not None:
+                    return line
             return run_async(q)
         except Exception as exc:  # noqa: BLE001
             print(f"query error: {exc!r} in {q.text!r}", file=sys.stderr)
@@ -180,6 +228,13 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
 
 def main() -> None:
     run_protocol(sys.stdin, sys.stdout)
+    # Hard exit: daemon prep threads (backend init, prefetch, vault
+    # restores) may still sit inside native code; interpreter teardown
+    # cancels them mid-C++ and glibc aborts with "FATAL: exception not
+    # rethrown".  Every result line is already flushed — skip teardown.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -300,3 +300,60 @@ def test_compiled_fused_table_program_is_sort_free():
         "fused table+prefs program must not sort"
     # and it must still answer correctly
     assert eng.execute(q) == execute_query_numpy(q, cat)
+
+
+def test_warmup_oracle_tier_exact(tmp_path, monkeypatch):
+    """Tiered warm-up serving (round 5): while the device engine warms
+    up, small-input queries answer from the exact host oracle.  Force
+    the window to stay open for the whole run (slow prefetch) and
+    assert outputs stay bit-exact, including fault isolation."""
+    import time as _time
+
+    from sigmod2018_tpu.engine.executor import JaxEngine
+
+    monkeypatch.setenv("S18_ASYNC_PREP", "1")
+    monkeypatch.setenv("S18_WARMUP_ORACLE", str(1 << 30))
+    orig = JaxEngine.prefetch
+
+    def slow_prefetch(self):
+        _time.sleep(3.0)  # keep the warm-up window open
+        orig(self)
+
+    monkeypatch.setattr(JaxEngine, "prefetch", slow_prefetch)
+    paths = []
+    for i, n in enumerate((20, 10)):
+        rel = make_identity_relation(n, 3)
+        p = tmp_path / f"r{i}"
+        store_relation(rel, p)
+        paths.append(str(p))
+    stdin = io.StringIO(
+        "\n".join(paths) + "\nDone\n"
+        "0 1|0.0=1.0|0.0 1.1\n"
+        "garbage query line\n"
+        "F\n"
+        "0|0.1>4|0.2\n"
+        "F\n"
+        "Exit\n"
+    )
+    stdout = io.StringIO()
+    run_protocol(stdin, stdout, EngineConfig(batch_workers=4))
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "45 45"
+    assert lines[1] == "NULL"
+    assert lines[2] == str(sum(range(5, 20)))
+
+
+def test_warmup_oracle_disabled(tmp_path, monkeypatch):
+    """S18_WARMUP_ORACLE=0 keeps every query on the device path."""
+    monkeypatch.setenv("S18_WARMUP_ORACLE", "0")
+    paths = []
+    for i, n in enumerate((20, 10)):
+        rel = make_identity_relation(n, 3)
+        p = tmp_path / f"r{i}"
+        store_relation(rel, p)
+        paths.append(str(p))
+    stdin = io.StringIO("\n".join(paths) + "\nDone\n"
+                        "0 1|0.0=1.0|0.0 1.1\nF\nExit\n")
+    stdout = io.StringIO()
+    run_protocol(stdin, stdout, EngineConfig(batch_workers=4))
+    assert stdout.getvalue().splitlines()[0] == "45 45"

@@ -189,3 +189,27 @@ def test_fastpath_wrong_speculation_still_retries(vault_env, tmp_path):
                                    *args[3:])
     fast[q.text] = (too_small, n_classes, small_call, args)
     assert eng.execute(q) == expected
+
+
+def test_big_bypass_texts_recorded_for_prep_replay(vault_env, tmp_path,
+                                                   monkeypatch):
+    """At-scale programs bypass the vault by design; each fresh process
+    would pay their plain-jit trace in the TIMED phase unless their
+    texts are recorded for the untimed prep replay (measured ~0.7 s per
+    query per process on the tunneled chip)."""
+    from sigmod2018_tpu.engine import compiled as C
+    from sigmod2018_tpu.engine.compiled import CompiledEngine
+    from sigmod2018_tpu.ops import radix_join as rj
+
+    monkeypatch.setattr(rj, "RADIX_MIN_ROWS", 256)  # force the bypass
+    cat = _catalog(tmp_path)
+    eng = CompiledEngine(cat, EngineConfig.from_env())
+    q = parse_query(QUERIES[0])
+    assert eng.execute(q) == execute_query_numpy(q, cat)
+    assert q.text in eng._vault().bad_texts()
+    # a second engine replays it during prefetch (daemon thread) and
+    # still answers bit-exactly
+    eng2 = CompiledEngine(cat, EngineConfig.from_env())
+    eng2.prefetch()
+    eng2.quiesce()
+    assert eng2.execute(q) == execute_query_numpy(q, cat)
