@@ -383,15 +383,14 @@ def factorized_result(engine, query: Query):
             d2, _ = col(p.binding1, p.column2)
             mask[p.binding1] = mask[p.binding1] & (d1 == d2)
 
-    # Early exit: an empty mask anywhere means NULL (its component's
-    # count is 0).  One batched sync beats running every message sort —
-    # the common blowup shape is "hot-key joins + a selective filter"
-    # (zipfbig), where exactly this fires.
-    from .executor import NullResult
-
-    alive = np.asarray(jnp.stack([jnp.any(mask[b]) for b in plan.nodes]))
-    if not alive.all():
-        return NullResult(len(query.views))
+    # No emptiness sync: the packed vector's exact `exists` flag (the
+    # boolean semiring below) gates NULL at format time, so an empty
+    # mask anywhere still answers correctly with ZERO blocking host
+    # syncs.  (An early-exit sync used to pay for itself when each
+    # message re-sorted its sender — 1.3 s/query; with the per-edge
+    # rank cache a full message sweep is ~25 ms/edge warm, while every
+    # sync costs a full ~28 ms tunnel RTT and blocks the batch
+    # pipeline.)
 
     up_w = {b: mask[b].astype(jnp.uint64) for b in plan.nodes}
     up_e = {b: mask[b].astype(jnp.int32) for b in plan.nodes}

@@ -680,29 +680,52 @@ def join_probe_count_ms(sorted_keys, n_build, probe_keys, n_probe, *,
 
 
 def _counts_auto(kb_s, n_b, kp_s, n_p, W: int, H: int, interpret: bool):
-    """staircase_counts with the kernel layout picked by build size:
-    broadcast at or below MS_BCAST_MAX_ROWS (fastest while its 128x
-    build copy fits HBM), the natural-layout rolled kernel past it —
-    no size cap.  The rolled kernel needs the probe length to divide
-    by its W; a short probe side is padded to one chunk (dtype-max
-    tail, dead by position) and the counts sliced back."""
+    """staircase_counts with the build layout picked by size.
+
+    At or below MS_BCAST_MAX_ROWS build rows the broadcast kernel runs
+    directly (fastest while its 128x build copy fits HBM).  PAST the
+    cap, the SORTED build side splits into static <=cap slices — a
+    sorted array's range partition is just a slice — and the broadcast
+    kernel runs once per slice against the full probe side:
+
+      cnt = sum of per-slice counts (a probe row's matches in the full
+            build = the disjoint union of its matches per slice);
+      lo  = slice offset + local lo of the FIRST slice with a match
+            (global first-match position in the sorted build array —
+            matches are contiguous there, so later slices' matches
+            continue the run).
+
+    Each slice's live prefix is clip(n_b - offset, 0, len): the global
+    array keeps pads behind the live prefix, so every slice does too.
+    2 slices at 2^24 build rows cost ~2x one 2^23 kernel — measured
+    far below both the natural-layout rolled kernel (8.5 s at 2^24,
+    loop-overhead bound; still forceable via staircase_counts
+    rolled=True) and the qd member (855 ms)."""
     if kb_s.shape[0] <= MS_BCAST_MAX_ROWS:
         Wp, Hp, Tp = stair_plan(kb_s.shape[0], kp_s.shape[0], W, H)
         return staircase_counts(kb_s, n_b, kp_s, n_p, W=Wp, H=Hp,
                                 T_cap=Tp, interpret=interpret)
-    Pp = kp_s.shape[0]
-    kp_run = kp_s
-    pad = (-Pp) % 1024
-    if pad:
-        fill = jnp.full((pad,), np.array(jnp.iinfo(kp_s.dtype).max),
-                        kp_s.dtype)
-        kp_run = jnp.concatenate([kp_s, fill])
-    Wr, Hr, Tr = stair_plan_rolled(kb_s.shape[0], kp_run.shape[0],
-                                   max(W, 1024), 1024)
-    cnt, lo = staircase_counts(kb_s, n_b, kp_run, n_p, W=Wr, H=Hr,
-                               T_cap=Tr, interpret=interpret,
-                               rolled=True)
-    return cnt[:Pp], lo[:Pp]
+    S = MS_BCAST_MAX_ROWS
+    cnt = None
+    lo = None
+    seen = None
+    for off in range(0, kb_s.shape[0], S):
+        kb_i = kb_s[off:off + S]
+        nb_i = jnp.clip(n_b - jnp.int32(off), 0, kb_i.shape[0])
+        Wp, Hp, Tp = stair_plan(kb_i.shape[0], kp_s.shape[0], W, H)
+        cnt_i, lo_i = staircase_counts(kb_i, nb_i, kp_s, n_p, W=Wp,
+                                       H=Hp, T_cap=Tp,
+                                       interpret=interpret)
+        hit = cnt_i > 0
+        if cnt is None:
+            cnt = cnt_i
+            lo = jnp.where(hit, lo_i + jnp.int32(off), 0)
+            seen = hit
+        else:
+            cnt = cnt + cnt_i
+            lo = jnp.where(hit & ~seen, lo_i + jnp.int32(off), lo)
+            seen = seen | hit
+    return cnt, lo
 
 
 # Emitting-path crossover: intermediate joins whose padded sizes reach
@@ -721,13 +744,12 @@ def join_probe_count_auto(sorted_keys, n_build, probe_keys, n_probe, *,
     searchsorted ranks below the crossover / off-TPU.  Off-TPU at-scale
     calls run the real kernel under Pallas interpret mode (CI)."""
     on_tpu = jax.default_backend() == "tpu"
-    # Bounded by the broadcast-layout cap on the BUILD side: past it the
-    # staircase would run the rotation kernel, which measures well below
-    # the searchsorted ranks (8.5 s vs ~0.5 s at 2^24) — the ranks member
-    # stays the at-scale emitting fallback there.
+    # No build-side upper cap: past the broadcast layout's limit the
+    # split-build path (_counts_auto) serves — each <=2^23 slice runs
+    # the fast broadcast kernel (the rolled rotation kernel measured
+    # 8.5 s at 2^24 and is no longer on the auto path).
     big = (max(sorted_keys.shape[0], probe_keys.shape[0])
-           >= EMIT_MS_MIN_ROWS
-           and sorted_keys.shape[0] <= MS_BCAST_MAX_ROWS)
+           >= EMIT_MS_MIN_ROWS)
     forced = _os.environ.get("S18_EMIT_MS_FORCE") == "1"
     if big and (on_tpu or forced):
         if on_tpu:

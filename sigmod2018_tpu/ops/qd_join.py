@@ -78,6 +78,19 @@ def qd_static_plan(Pb: int, Pp: int, SPb: int = 256,
     expected_p = -(-Pp // B)
     SPp = min(size_class(max(2 * expected_p, ALIGN), ALIGN) + ALIGN,
               MAX_SLOTS + ALIGN)
+    # The streaming kernel holds the whole [SPb + H, B] u32 build-slot
+    # matrix as a single-buffered VMEM input window (4*(Pb + H*B)
+    # bytes), so the member structurally caps near 2^24 build rows on a
+    # 128 MB-VMEM chip — observed as a backend compile failure at 2^25
+    # (Allocation would exceed memory, u32[320,131072] window).  Fail
+    # at PLAN time with a clear message instead: only a forced
+    # algo="qd" reaches these sizes (auto serves them with the
+    # split-build staircase member), and the engine's dispatch guard
+    # logs + answers from the host oracle.
+    if (SPb + H) * B * 4 > 100 * (1 << 20):
+        raise ValueError(
+            f"qd member build-slot matrix [{SPb + H}, {B}] u32 exceeds "
+            f"VMEM (Pb={Pb}, Pp={Pp}); use the staircase member here")
     return SPb, H, SPp
 
 

@@ -610,13 +610,11 @@ def radix_member_selected(Pb: int, Pp: int, algo: str,
 def ms_member_selected(Pb: int, Pp: int, algo: str) -> bool:
     """Host-side mirror: True iff the merge-staircase member would run
     for these padded sizes (prep decides whether plain-sorted key
-    artifacts will be consumed by the fused path)."""
-    from .ms_join import MS_BCAST_MAX_ROWS
-
+    artifacts will be consumed by the fused path).  No upper cap since
+    the split-build path (ms_join._counts_auto) serves any size."""
     on_tpu = jax.default_backend() == "tpu"
     return algo == "ms" or (
-        algo == "auto" and on_tpu
-        and RADIX_MIN_ROWS <= max(Pb, Pp) <= MS_BCAST_MAX_ROWS)
+        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= max(Pb, Pp))
 
 
 def plan_bits(Pb: int) -> int:
@@ -709,19 +707,14 @@ def fused_join_auto(keys_b, vals_b, n_b, keys_p, vals_p, n_p,
     Pmax = max(keys_b.shape[0], keys_p.shape[0])
     on_tpu = jax.default_backend() == "tpu"
 
-    from .ms_join import MS_BCAST_MAX_ROWS
-
-    # Member choice past the broadcast-layout cap is MEASURED, not
-    # capped: at 2^24/side the qd member runs 855 ms vs the rolled
-    # staircase's 8464 ms and the sort member's 1966 ms (2026-08-20,
-    # counts/checksums agree across all three), so auto routes there;
-    # a forced algo="ms" still serves any size via the rolled kernel
-    # (natural layout, no copy — correct, just not the fastest).
+    # The staircase member serves EVERY at-scale size: past the
+    # broadcast-layout cap the sorted build side splits into <=cap
+    # slices, each run through the broadcast kernel (ms_join
+    # _counts_auto).  Measured at 2^24/side (2026-08-20): split ms
+    # beats the qd member (855 ms) and the rolled natural-layout
+    # kernel (8464 ms); see STATUS.md round-5 member table.
     use_ms = algo == "ms" or (
-        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax
-        and Pmax <= MS_BCAST_MAX_ROWS)
-    if algo == "auto" and on_tpu and Pmax > MS_BCAST_MAX_ROWS:
-        algo = "qd"
+        algo == "auto" and on_tpu and RADIX_MIN_ROWS <= Pmax)
     if use_ms:
         # Merge-staircase member: the at-scale default.  Preferred over
         # the table member too — the rank-table gathers lose to the

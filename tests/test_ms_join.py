@@ -291,3 +291,51 @@ def test_stair_plan_rolled_keeps_divisibility():
             assert Pp % W == 0, (Pb, Pp, W)
             assert W % H == 0 and Pb % H == 0
             assert Pp // W < (1 << 31) // ms._PACK_R
+
+
+def test_counts_auto_split_build_matches_oracle(monkeypatch):
+    """Past MS_BCAST_MAX_ROWS the sorted build side splits into slices,
+    each through the broadcast kernel; cnt sums and lo combines to the
+    GLOBAL first-match position.  Keys repeat heavily so equal-key runs
+    straddle slice boundaries — the case the lo/cnt combine must get
+    right."""
+    monkeypatch.setattr(ms, "MS_BCAST_MAX_ROWS", 512)  # force the split
+    rng = np.random.default_rng(11)
+    Pb, Pp = 2048, 1024
+    nb, npp = 1900, 1000
+    kb = np.full(Pb, np.iinfo(np.uint64).max, np.uint64)
+    kb[:nb] = np.sort(rng.integers(0, 37, nb).astype(np.uint64))  # fat runs
+    kp = np.full(Pp, np.iinfo(np.uint64).max, np.uint64)
+    kp[:npp] = np.sort(rng.integers(0, 37, npp).astype(np.uint64))
+    cnt, lo = ms._counts_auto(jnp.asarray(kb), jnp.int32(nb),
+                              jnp.asarray(kp), jnp.int32(npp),
+                              1024, 512, True)
+    ecnt, elo = _oracle(kb[:nb], nb, kp, npp)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npp], ecnt[:npp])
+    m = ecnt[:npp] > 0
+    np.testing.assert_array_equal(np.asarray(lo)[:npp][m], elo[:npp][m])
+    assert np.all(np.asarray(cnt)[npp:] == 0)
+
+
+def test_ms_fused_split_build_matches_sort_member(monkeypatch):
+    """End-to-end fused contract through the split path (both
+    directions split: build pass and the role-swapped probe pass)."""
+    from sigmod2018_tpu.ops.agg_join import join_checksum_fused
+
+    monkeypatch.setattr(ms, "MS_BCAST_MAX_ROWS", 512)
+    rng = np.random.default_rng(12)
+    Pb, Pp = 1024, 2048
+    nb, npp = 1000, 2000
+    kb = np.zeros(Pb, np.uint64); kb[:nb] = rng.integers(0, 300, nb)
+    kp = np.zeros(Pp, np.uint64); kp[:npp] = rng.integers(0, 300, npp)
+    vb = rng.integers(0, 1 << 30, (2, Pb)).astype(np.uint64)
+    vp = rng.integers(0, 1 << 30, (2, Pp)).astype(np.uint64)
+    want = join_checksum_fused(jnp.asarray(kb), jnp.asarray(vb),
+                               jnp.int32(nb), jnp.asarray(kp),
+                               jnp.asarray(vp), jnp.int32(npp))
+    got = ms.ms_fused(jnp.asarray(kb), jnp.asarray(vb), jnp.int32(nb),
+                      jnp.asarray(kp), jnp.asarray(vp), jnp.int32(npp),
+                      interpret=True)
+    assert int(got[0]) == int(want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]) + np.asarray(got[2]),
+                                  np.asarray(want[1]) + np.asarray(want[2]))

@@ -159,3 +159,17 @@ def test_qd_plan_properties():
         assert (SPb + H) % 16 == 0
         assert SPp % 1024 == 0
         assert SPp - 1024 >= min(2 * (P // (P // SPb)), 1 << 13)
+
+
+def test_qd_plan_vmem_guard():
+    """The qd member's [SPp, B] probe-slot matrix is a single-buffered
+    VMEM window; past ~2^24 probe rows the backend compile failed with
+    'Allocation would exceed memory' (observed at 2^25 on the real
+    chip).  The plan must fail loudly at trace time instead."""
+    import pytest as _pytest
+
+    from sigmod2018_tpu.ops.qd_join import qd_static_plan
+
+    qd_static_plan(1 << 23, 1 << 23)  # fits
+    with _pytest.raises(ValueError, match="staircase"):
+        qd_static_plan(1 << 25, 1 << 25)
