@@ -164,8 +164,10 @@ def execute_query_factorized_np(query: Query, catalog) -> Optional[str]:
         return None
 
     def col(b: int, c: int) -> np.ndarray:
-        return np.asarray(catalog.column(query.relations[b], c),
-                          dtype=np.uint64)
+        dense = getattr(catalog, "dense_column", None)
+        raw = (dense(query.relations[b], c) if dense is not None
+               else catalog.column(query.relations[b], c))
+        return np.asarray(raw, dtype=np.uint64)
 
     # Per-binding masks: filters + self-joins (oracle phase 1).
     mask: Dict[int, np.ndarray] = {}

@@ -89,6 +89,9 @@ def execute_query_numpy(query: Query, catalog: Catalog,
             raise OracleOverflow(f"{n} rows > cap {max_rows}")
 
     def col(binding: int, column: int) -> np.ndarray:
+        dense = getattr(catalog, "dense_column", None)
+        if dense is not None:
+            return dense(query.relations[binding], column)
         return catalog.column(query.relations[binding], column)
 
     # ---- phase 1: filters and self-joins ------------------------------

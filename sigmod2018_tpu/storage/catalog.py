@@ -209,6 +209,30 @@ class Catalog:
     def column(self, rid: int, cid: int) -> np.ndarray:
         return self.relations[rid].columns[cid]
 
+    def dense_column(self, rid: int, cid: int) -> np.ndarray:
+        """The column as a materialized in-memory array, cached.
+
+        Base columns are np.memmap views; NumPy fancy indexing through
+        a memmap goes via its Python __getitem__ with extra copies —
+        measured 0.9 s of the host oracle's 2.1 s small-workload pass
+        was memmap gathers.  The host serving tiers (warm-up oracle,
+        poisoned-device last resort, factorized NumPy twin) gather per
+        query, so one materialization pays for itself immediately.
+        In-memory relations pass through without a copy."""
+        cache = self.__dict__.setdefault("_dense_columns", {})
+        key = (rid, cid)
+        hit = cache.get(key)
+        if hit is None:
+            raw = self.relations[rid].columns[cid]
+            if isinstance(raw, np.memmap):
+                # np.ascontiguousarray on a contiguous memmap returns a
+                # VIEW — force the copy into an anonymous array.
+                hit = np.array(raw, dtype=raw.dtype, copy=True)
+            else:
+                hit = np.ascontiguousarray(raw)
+            cache[key] = hit
+        return hit
+
     def column_stats(self, rid: int, cid: int) -> ColumnStats:
         return self.stats[rid][cid]
 
