@@ -22,11 +22,15 @@ fails = 0
 done = 0
 chunk_i = 0
 while done < N:
-    n = min(CHUNK, N - done)
     # Every third chunk runs the distributed engines on an 8-device
     # virtual mesh (VERDICT r1 weak #7: the soak must cover the mesh
-    # engine, not just single-chip modes).
+    # engine, not just single-chip modes).  Mesh chunks run a THIRD of
+    # the size: each random skeleton compiles an 8-device shard_map
+    # program (now with up to three strategies per join since the
+    # skew split), and ~150 of those in one process exhausted host RAM
+    # (LLVM 'Cannot allocate memory' during XLA:CPU codegen).
     mesh = chunk_i % 3 == 2
+    n = min(CHUNK // 3 if mesh else CHUNK, N - done)
     # S18_VAULT=0: random queries never repeat a signature, so exporting
     # each one is pure overhead (and would pile single-use files into
     # the prep cache).  S18_PREP_CACHE=0 keeps learned-class churn out
