@@ -337,25 +337,27 @@ def _msg_jit_factory():
     import jax.numpy as jnp
 
     @jax.jit
-    def msg(sw, se, perm, lo, hi):
+    def msg(sw, se, inv, lo, hi):
         """[Ps] sender weights/exists + the edge's CACHED rank
         artifacts -> ([Pr] u64 sum, [Pr] i32 count>0).
 
         The expensive parts of a message — the sender key sort and the
         receiver rank queries — depend only on the two BASE key
-        columns, never on the query: `perm` is the sender's prep-time
-        sort permutation (engine.device_sorted_column) and lo/hi are
-        each receiver row's match range in that order, computed once
-        per edge per process (_edge_ranks).  What remains per message
-        is one gather + two cumsums + two prefix gathers — measured
-        ~200 ms -> ~25 ms per message at 2M rows (the previous form
-        re-sorted the sender and ran two rank sorts every call).
+        columns, never on the query: `inv` is the INVERSE of the
+        sender's prep-time sort permutation as a u32 sort key (row j's
+        rank in key order) and lo/hi are each receiver row's match
+        range in that order, computed once per edge per process
+        (_edge_ranks).  Reordering the weights into key order runs as
+        ONE u32-keyed 3-array sort — a permutation gather is this
+        hardware's slowest primitive (measured at 2^21: two gathers
+        53 ms, the sort 10 ms; the ops/_unsort rule).  What remains is
+        two cumsums + four prefix gathers.
 
         Dead/padded sender rows carry weight 0 and exists 0 (liveness
         folded into the mask), so no live-length arguments are
         needed."""
-        sw_s = jnp.take(sw, perm)
-        se_s = jnp.take(se, perm)
+        _, sw_s, se_s = jax.lax.sort((inv, sw, se), num_keys=1,
+                                     is_stable=False)
         pw = jnp.concatenate([jnp.zeros(1, jnp.uint64),
                               jnp.cumsum(sw_s, dtype=jnp.uint64)])
         pe = jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -435,12 +437,15 @@ def factorized_result(engine, query: Query):
 
     def edge_ranks(sb, sc, rb, rc):
         """The edge's query-independent message artifacts
-        (perm, lo, hi), cached on the engine per (relation, column)
-        pair: perm = the sender base column's prep-time sort
-        permutation, lo/hi = every receiver row's match range in that
-        order.  Keys downcast to u32 when BOTH endpoint columns' stats
-        allow (the u64 comparator is ~20x); pad rows carry weight 0
-        and exists 0, so their key values never matter."""
+        (inv, lo, hi), cached on the engine per (relation, column)
+        pair: inv = the INVERSE of the sender base column's prep-time
+        sort permutation as a u32 key (row j's rank in key order —
+        msg() reorders weights with one u32-keyed sort instead of a
+        permutation gather), lo/hi = every receiver row's match range
+        in that order.  Keys downcast to u32 when BOTH endpoint
+        columns' stats allow (the u64 comparator is ~20x); pad rows
+        carry weight 0 and exists 0, so their key values never
+        matter."""
         ck = (query.relations[sb], sc, query.relations[rb], rc)
         ecache = engine.__dict__.setdefault("_fact_edge_ranks", {})
         hit = ecache.get(ck)
@@ -453,7 +458,14 @@ def factorized_result(engine, query: Query):
                                rk.astype(jnp.uint32))
             else:
                 lo, hi = ranks(sk64, rk)
-            hit = (perm, lo, hi)
+            # invert the permutation with a sort (not a scatter):
+            # sorting (perm, iota) by perm puts iota value i at
+            # position perm[i] -> the second output IS the rank of
+            # every row, i.e. the u32 sort key msg() needs.
+            iota = jnp.arange(perm.shape[0], dtype=jnp.uint32)
+            _, inv = jax.lax.sort((perm.astype(jnp.uint32), iota),
+                                  num_keys=1, is_stable=False)
+            hit = (inv, lo, hi)
             ecache[ck] = hit
         return hit
 
