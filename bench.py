@@ -106,7 +106,15 @@ def _check_smoke_gate() -> str:
     import smoke_tpu
 
     fp = smoke_tpu.gate_path("tpu")
-    if fp is not None and os.path.exists(fp):
+    if fp is None:
+        # No prep-cache dir (S18_PREP_CACHE=0): the gate has nowhere to
+        # record a pass, so refusing would be an unrecoverable loop —
+        # warn and proceed instead.
+        log("WARNING: prep cache disabled — the smoke gate cannot be "
+            "recorded; proceeding unsmoked (run tools/smoke_tpu.py "
+            "manually)")
+        return "no-cache"
+    if os.path.exists(fp):
         return "ok"
     log(f"SMOKE GATE MISSING for this code tag (expected {fp}).")
     log("Run `python tools/smoke_tpu.py` first — it exercises every "

@@ -180,25 +180,14 @@ def down_edges(plan: ForestPlan, query: Query) -> set:
 # ---------------------------------------------------------------------------
 
 
-def _np_msg(sk: np.ndarray, sw: np.ndarray, se: np.ndarray,
-            rk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-receiver-row (sum of sender weights, any sender exists) over
-    key equality: group-by via sort + prefix sums, no materialization."""
-    order = np.argsort(sk, kind="stable")
-    ks = sk[order]
-    pw = np.concatenate([[np.uint64(0)],
-                         np.cumsum(sw[order], dtype=np.uint64)])
-    pe = np.concatenate([[0], np.cumsum(se[order].astype(np.int64))])
-    lo = np.searchsorted(ks, rk, side="left")
-    hi = np.searchsorted(ks, rk, side="right")
-    return pw[hi] - pw[lo], (pe[hi] - pe[lo]) > 0
-
-
 def _np_msg_cached(sw: np.ndarray, se: np.ndarray, order: np.ndarray,
                    lo: np.ndarray, hi: np.ndarray):
-    """_np_msg with the edge's query-independent artifacts precomputed
-    (the NumPy mirror of the JAX twin's edge_ranks cache): per message
-    only the weight gather + two cumsums + four prefix gathers remain."""
+    """Per-receiver-row (sum of sender weights, any sender exists) over
+    key equality: group-by via sort + prefix sums, no materialization.
+    The edge's query-independent artifacts (sender sort order, receiver
+    rank ranges) are precomputed by _np_edge_ranks — the NumPy mirror
+    of the JAX twin's edge_ranks cache — so per message only the weight
+    gather + two cumsums + four prefix gathers remain."""
     pw = np.concatenate([[np.uint64(0)],
                          np.cumsum(sw[order], dtype=np.uint64)])
     pe = np.concatenate([[0], np.cumsum(se[order].astype(np.int64))])

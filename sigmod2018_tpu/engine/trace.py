@@ -64,7 +64,8 @@ class Tracer:
     def __init__(self, out=None, mode: str = "table"):
         self.out = out or sys.stderr
         self.mode = mode
-        self.records: List[Tuple[str, str, float, int]] = []
+        # (op name, shapes, device ms, bytes, floors dict or None)
+        self.records: List[Tuple[str, str, float, int, Any]] = []
         self._rtt: float | None = None
 
     def rtt(self) -> float:

@@ -74,6 +74,7 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
             return execute_query_numpy(q, catalog)
 
         pool = None
+        warmup_oracle = None
     else:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -177,7 +178,7 @@ def run_protocol(stdin: IO[str], stdout: IO[str],
         # (the reference exits the process on internal errors, query.c:424;
         # we degrade to a NULL line and keep serving).
         try:
-            if pool is not None:  # jax path: warm-up tier applies
+            if warmup_oracle is not None:  # jax path: warm-up tier
                 line = warmup_oracle(q)
                 if line is not None:
                     return line

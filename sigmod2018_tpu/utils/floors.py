@@ -71,10 +71,9 @@ def floors_for_op(name: str, args) -> Dict[str, float] | None:
     arrs = [a for a in args if isinstance(a, jax.Array)]
     try:
         if name in ("fused_join_auto", "join_checksum_fused", "ms_fused"):
-            kb, vb_, _, kp, vp_ = arrs[0], arrs[1], None, arrs[2], arrs[3]
             # signature (keys_b, bcols, n_b, keys_p, pcols, n_p): int
-            # scalars are not jax arrays here, so arrs = [kb, bcols, kp,
-            # pcols, ...]; recompute defensively by ndim
+            # scalars are not jax arrays here, and value stacks may be
+            # absent — derive (keys, value-column counts) by ndim
             one_d = [a for a in arrs if a.ndim == 1 and a.size > 2]
             two_d = [a for a in arrs if a.ndim == 2]
             if len(one_d) < 2:
