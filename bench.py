@@ -91,6 +91,40 @@ def _arm_deadline(seconds: float) -> None:
                      name="bench-deadline").start()
 
 
+def _require_backend(name: str, budget_s: float = 420.0) -> None:
+    """Fail FAST and attributably when the remote backend is
+    unreachable: `jax.devices()` hangs indefinitely while the tunneled
+    axon service is down (observed outages of 30 min to several
+    hours), and burning the full bench deadline on it produces an
+    artifact that looks like an engine hang.  Probe in a thread with
+    its own budget and emit a machine-readable error instead."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe() -> None:
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True, name="bench-initprobe")
+    t.start()
+    t.join(budget_s)
+    if ok.is_set():
+        return
+    log(f"BACKEND UNREACHABLE: jax.devices() did not return within "
+        f"{budget_s:.0f}s — the remote device service is down, not the "
+        f"engine")
+    print(json.dumps({"metric": f"{name}_workload_wall_ms", "value": None,
+                      "unit": "ms", "vs_baseline": None,
+                      "mismatches": None,
+                      "error": f"backend unreachable: jax.devices() hung "
+                               f">{budget_s:.0f}s (remote service down)"}),
+          flush=True)
+    os._exit(5)
+
+
 def _check_smoke_gate() -> str:
     """'ok' when the on-TPU smoke gate has passed for the CURRENT code
     tag; exits otherwise (unless S18_SMOKE=0 -> 'skipped').  Only the
@@ -148,10 +182,11 @@ def main() -> None:
     from sigmod2018_tpu.storage.catalog import Catalog
 
     _arm_deadline(float(os.environ.get("S18_BENCH_DEADLINE", "2700")))
-    diag: dict = {"smoke": _check_smoke_gate()}
 
     wl = Path(sys.argv[1]).resolve() if len(sys.argv) > 1 else SMALL
     name = wl.name
+    _require_backend(name, float(os.environ.get("S18_INIT_BUDGET", "420")))
+    diag: dict = {"smoke": _check_smoke_gate()}
     init = [
         str(wl / line.strip().split("/")[-1])
         for line in (wl / f"{name}.init").read_text().splitlines()
